@@ -1,0 +1,33 @@
+"""TPU-native suffix-array / string-indexing framework.
+
+A brand-new JAX/XLA/Pallas implementation of the capabilities of the reference
+C/MPI/CUDA project ``a-rtemis99/hpc_suffix_array`` (see SURVEY.md): Manber-Myers
+prefix-doubling suffix-array construction with early termination, LCP array,
+longest-repeated-substring extraction, self-validation, dataset generation,
+CLI with structured machine-parseable output, and a benchmark harness.
+
+Instead of the reference's three backends (sequential C, master-centric MPI,
+absent CUDA - reference src/sequential/manber_myers.c:81-133,
+src/mpi/manber_myers_mpi.c:22-161), this framework is a single sharded-array
+program: the same jitted doubling driver runs on one chip or a multi-device
+``jax.sharding.Mesh``, differing only in the mesh.
+"""
+
+from hpc_suffix_array_tpu.core.suffix_array import (
+    SuffixArray,
+    build_suffix_array,
+)
+from hpc_suffix_array_tpu.core.lcp import build_lcp_array
+from hpc_suffix_array_tpu.core.lrs import find_longest_repeated_substring
+from hpc_suffix_array_tpu.core.validate import is_valid_suffix_array
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SuffixArray",
+    "build_suffix_array",
+    "build_lcp_array",
+    "find_longest_repeated_substring",
+    "is_valid_suffix_array",
+    "__version__",
+]

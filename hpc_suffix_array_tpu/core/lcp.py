@@ -1,0 +1,149 @@
+"""LCP-array construction, TPU-native.
+
+The reference uses Kasai's O(n) h-decrement algorithm
+(src/sequential/manber_myers.c:135-157), which is inherently sequential: each
+position's h carries into the next. That is a poor fit for a 8x128-lane
+vector machine, so this module computes the *PLCP* array (LCP indexed by text
+position) with a data-parallel iterative algorithm, then permutes it into SA
+order (lcp[j] = plcp[sa[j]], lcp[0] = 0 - same contract as the reference).
+
+The parallel PLCP algorithm combines three O(n) vectorized steps per round
+inside one jitted ``lax.while_loop``:
+
+  1. **Verified extension**: every unresolved position compares the next
+     ``CMP_WIDTH`` bytes of (suffix i, suffix phi[i]) at its current verified
+     offset with one vector gather; the match count extends its lower bound,
+     and any mismatch (or text end) resolves it exactly.
+  2. **Monotone propagation**: by the classic PLCP lemma
+     plcp[i] >= plcp[i-1] - 1, so plcp[i] + i is non-decreasing; a cumulative
+     max scan (``lax.associative_scan``) turns every strong bound into strong
+     bounds for all later positions - this resolves long runs with constant
+     plcp+i (e.g. the repetitive corpora of the reference's dataset
+     generator, scripts/generate_large_datasets.py:16-23) in O(1) rounds.
+  3. **Pointer jumping**: if phi[i + cur] == phi[i] + cur (the partner chain
+     is aligned, true throughout periodic text), then
+     plcp[i] = cur + plcp[i + cur], so bounds compose: cur[i] += cur[i+cur].
+     This doubles verified prefixes geometrically, giving O(log n) rounds on
+     period-p strings such as the 'aaaa' (1000 x 'a') and 'ababab' fixtures
+     (generate_large_datasets.py:94-95).
+
+Every value is a *verified lower bound* at all times, so all three steps are
+sound in any order; termination is guaranteed because each round either
+resolves a position or extends it by >= 1.
+
+Correctness oracle: Kasai in the native C helper
+(hpc_suffix_array_tpu.native) and a NumPy reference (core.oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from hpc_suffix_array_tpu.core.suffix_array import as_byte_array
+
+# Bytes compared per unresolved position per round.
+CMP_WIDTH = 32
+# Positions per lax.map chunk: bounds the gather buffer to CHUNK*CMP_WIDTH.
+CHUNK = 1 << 18
+# Pointer-jumping steps per round (each approximately doubles verified runs).
+JUMP_STEPS = 2
+
+
+def _extend_chunk(text, n, args):
+    """Compare CMP_WIDTH bytes for one chunk of positions; return match counts."""
+    cur_c, phi_c, act_c, base_c = args
+    offs = lax.iota(jnp.int32, CMP_WIDTH)[None, :]
+    a_pos = base_c[:, None] + cur_c[:, None] + offs
+    b_pos = phi_c[:, None] + cur_c[:, None] + offs
+    a_ok = a_pos < n
+    b_ok = (b_pos < n) & (b_pos >= 0)
+    ta = text[jnp.clip(a_pos, 0, n - 1)]
+    tb = text[jnp.clip(b_pos, 0, n - 1)]
+    eq = (ta == tb) & a_ok & b_ok & act_c[:, None]
+    return jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)
+
+
+@jax.jit
+def plcp_kernel(text: jnp.ndarray, sa: jnp.ndarray):
+    """Compute plcp int32[n]: plcp[i] = LCP(suffix i, its SA predecessor)."""
+    n = text.shape[0]
+    iota = lax.iota(jnp.int32, n)
+    isa = jnp.zeros((n,), jnp.int32).at[sa].set(iota)
+    phi = jnp.where(isa > 0, sa[jnp.maximum(isa - 1, 0)], jnp.int32(-1))
+    limit = jnp.where(phi >= 0, n - jnp.maximum(iota, phi), jnp.int32(0))
+
+    # Pad to a chunk multiple so the extension step maps over fixed tiles
+    # (chunk shrinks for small inputs to avoid pure-padding work).
+    chunk = min(CHUNK, 1 << max(int(n - 1).bit_length(), 5))
+    n_pad = -(-n // chunk) * chunk
+    pad = n_pad - n
+
+    def pad1(x, value):
+        return jnp.concatenate([x, jnp.full((pad,), value, x.dtype)]) if pad else x
+
+    cur0 = jnp.zeros((n_pad,), jnp.int32)
+    resolved0 = pad1(phi < 0, True)
+    phi_p = pad1(phi, -1)
+    limit_p = pad1(limit, 0)
+    iota_p = lax.iota(jnp.int32, n_pad)
+    nc = n_pad // chunk
+
+    def cond(state):
+        cur, resolved, it = state
+        return (~jnp.all(resolved)) & (it < n + CMP_WIDTH)
+
+    def body(state):
+        cur, resolved, it = state
+        # 1) monotone propagation (plcp[i]+i non-decreasing).
+        runmax = lax.associative_scan(jnp.maximum, cur + iota_p)
+        prop = jnp.clip(jnp.maximum(cur, runmax - iota_p), 0, limit_p)
+        cur = jnp.where(resolved, cur, prop)
+        resolved = resolved | (cur >= limit_p)
+
+        # 2) pointer jumping along the aligned phi chain.
+        for _ in range(JUMP_STEPS):
+            tgt = jnp.minimum(iota_p + cur, n_pad - 1)
+            aligned = (~resolved) & (iota_p + cur < n) & (phi_p[tgt] == phi_p + cur)
+            bumped = jnp.minimum(cur + cur[tgt], limit_p)
+            now_exact = aligned & resolved[tgt]
+            cur = jnp.where(aligned, bumped, cur)
+            resolved = resolved | now_exact | ((~resolved) & (cur >= limit_p))
+
+        # 3) verified extension by direct byte comparison, chunked.
+        active = ~resolved
+        m = lax.map(
+            functools.partial(_extend_chunk, text, n),
+            (cur.reshape(nc, chunk), phi_p.reshape(nc, chunk),
+             active.reshape(nc, chunk), iota_p.reshape(nc, chunk)),
+        ).reshape(n_pad)
+        cur = cur + jnp.where(active, m, 0)
+        resolved = resolved | (active & (m < CMP_WIDTH))
+        return cur, resolved, it + CMP_WIDTH
+
+    cur, _resolved, _it = lax.while_loop(
+        cond, body, (cur0, resolved0, jnp.int32(0)))
+    return cur[:n]
+
+
+@jax.jit
+def lcp_from_plcp(plcp: jnp.ndarray, sa: jnp.ndarray):
+    """Permute plcp into SA order; lcp[0] = 0 (reference manber_myers.c:145)."""
+    n = sa.shape[0]
+    lcp = plcp[sa]
+    return lcp.at[0].set(0) if n else lcp
+
+
+def build_lcp_array(text, sa) -> jnp.ndarray:
+    """LCP array: lcp[j] = LCP(suffix sa[j-1], suffix sa[j]); lcp[0] = 0."""
+    arr = jnp.asarray(as_byte_array(text), jnp.uint8)
+    n = int(arr.shape[0])
+    if n == 0:
+        return jnp.zeros((0,), jnp.int32)
+    sa = jnp.asarray(sa, jnp.int32)
+    plcp = plcp_kernel(arr, sa)
+    return lcp_from_plcp(plcp, sa)

@@ -1,0 +1,171 @@
+"""Suffix-array construction by Manber-Myers prefix doubling, TPU-native.
+
+Behavioral parity target: reference ``build_suffix_array``
+(src/sequential/manber_myers.c:81-133) - byte ranks at k=1
+(manber_myers.c:88-92), doubling loop ``k = 2, 4, ...`` bounded by ``2n``
+(manber_myers.c:97), dense re-rank (manber_myers.c:101-110), and early
+termination the moment all ranks are distinct (manber_myers.c:113).
+The suffix array of a text is unique, so output equality with the reference
+is exact by construction.
+
+Design differences (TPU-first, not a translation):
+  * struct-of-arrays: three int32 vectors (rank, rank_k, idx) instead of an
+    array of ``Suffix`` structs - keeps data in wide vector-friendly layout.
+  * one jitted ``lax.while_loop`` carries (rank, k, max_rank, sa); the round
+    count is dynamic on device, there is no host round-trip per round and no
+    retrace (the reference re-runs a host loop per round).
+  * bytes are ranked unsigned (0..255). The reference seeds ranks from
+    ``char`` (signed on x86, manber_myers.c:90) but validates with strcmp's
+    unsigned order (manber_myers.c:195) - inconsistent for bytes >= 128; we
+    use the strcmp (true lexicographic) order everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from hpc_suffix_array_tpu.ops.scan import rerank_sorted
+from hpc_suffix_array_tpu.ops.shift import shifted_ranks
+from hpc_suffix_array_tpu.ops.sort import sort_by_rank_pairs
+
+
+def _doubling_round(rank, k, idx):
+    """One prefix-doubling round: pair sort + dense re-rank.
+
+    Returns (new_rank, max_rank, sorted_idx) where sorted_idx is the suffix
+    order under the (rank[i], rank[i+k]) key.
+    """
+    rank_k = shifted_ranks(rank, k)
+    s_rank, s_rank_k, s_idx = sort_by_rank_pairs(rank, rank_k, idx)
+    new_rank, max_rank = rerank_sorted(s_rank, s_rank_k, s_idx)
+    return new_rank, max_rank, s_idx
+
+
+@jax.jit
+def suffix_array_kernel(rank0: jnp.ndarray):
+    """Compute the suffix order for initial ranks ``rank0`` (int32[n], n >= 1).
+
+    ``rank0`` is byte+1 for real text positions and 0 for end padding: the
+    pad sentinel ranks below every real byte, so all pad suffixes sort first
+    and the real suffix array is the tail slice (see ``build_suffix_array``).
+
+    Returns:
+      sa:     int32[n] suffix order (sa[j] = start of j-th smallest suffix).
+      rank:   int32[n] final dense ranks (== inverse SA when converged).
+      rounds: int32 number of doubling rounds executed.
+    """
+    n = rank0.shape[0]
+    idx = lax.iota(jnp.int32, n)
+
+    def cond(carry):
+        _rank, k, max_rank, _sa, _rounds = carry
+        return (max_rank < n - 1) & (k < 2 * n)
+
+    def body(carry):
+        rank, k, _max_rank, _sa, rounds = carry
+        new_rank, max_rank, s_idx = _doubling_round(rank, k, idx)
+        return new_rank, k * 2, max_rank, s_idx, rounds + 1
+
+    init = (rank0, jnp.int32(1), jnp.int32(-1), idx, jnp.int32(0))
+    rank, _k, _max_rank, sa, rounds = lax.while_loop(cond, body, init)
+    return sa, rank, rounds
+
+
+def bucket_size(n: int, multiple_of: int = 1) -> int:
+    """Round n up to a compile-cache-friendly bucket (1+1/8 granularity).
+
+    Bounds the number of distinct jitted shapes to ~8 per octave while
+    wasting at most 12.5% padding, and enforces divisibility by
+    ``multiple_of`` (the mesh size for the sharded path).
+    """
+    n = max(n, 1)
+    step = max(1 << max(int(n - 1).bit_length() - 3, 0), multiple_of)
+    return -(-n // step) * step
+
+
+def build_suffix_array(text) -> jnp.ndarray:
+    """Build the suffix array of ``text`` (bytes, str, or uint8 array).
+
+    The text is padded at the end with a sub-byte sentinel rank to a bucketed
+    length: every pad suffix is a strict prefix-of-pads string that ranks
+    below all real suffixes (any real byte maps to rank >= 1 > 0), so the
+    padded suffix order is [pad positions ...][real suffix array] and the
+    real SA is recovered by a static tail slice. This keeps shapes static
+    and bucketed for XLA, replacing the reference's malloc-per-size
+    (manber_myers.c:83-85).
+    """
+    arr = as_byte_array(text)
+    n = int(arr.shape[0])
+    if n == 0:
+        return jnp.zeros((0,), jnp.int32)
+    n_pad = bucket_size(n)
+    rank0 = jnp.concatenate([
+        jnp.asarray(arr, jnp.uint8).astype(jnp.int32) + 1,
+        jnp.zeros((n_pad - n,), jnp.int32),
+    ])
+    sa, _rank, _rounds = suffix_array_kernel(rank0)
+    return sa[n_pad - n:]
+
+
+def as_byte_array(text) -> np.ndarray:
+    """Coerce str/bytes/array input to a uint8 numpy array (zero-copy where possible)."""
+    if isinstance(text, str):
+        text = text.encode("utf-8")
+    if isinstance(text, (bytes, bytearray, memoryview)):
+        return np.frombuffer(bytes(text), dtype=np.uint8)
+    arr = np.asarray(text)
+    if arr.dtype != np.uint8:
+        arr = arr.astype(np.uint8)
+    return arr
+
+
+@dataclass
+class SuffixArray:
+    """Result object bundling text, SA, and LCP.
+
+    The lifecycle equivalent of the reference's ``SuffixArray`` struct plus
+    create/destroy (src/common/suffix_array.h:16-21, manber_myers.c:51-78);
+    in Python, construction *is* `create`, garbage collection is `destroy`.
+    """
+
+    text: np.ndarray            # uint8[n]
+    sa: jnp.ndarray | None = None     # int32[n]
+    lcp: jnp.ndarray | None = None    # int32[n]
+    timings: dict = field(default_factory=dict)
+
+    @classmethod
+    def create(cls, text) -> "SuffixArray":
+        return cls(text=as_byte_array(text))
+
+    @property
+    def n(self) -> int:
+        return int(self.text.shape[0])
+
+    def build(self) -> "SuffixArray":
+        self.sa = build_suffix_array(self.text)
+        return self
+
+    def build_lcp(self) -> "SuffixArray":
+        from hpc_suffix_array_tpu.core.lcp import build_lcp_array
+        if self.sa is None:
+            self.build()
+        self.lcp = build_lcp_array(self.text, self.sa)
+        return self
+
+    def longest_repeated_substring(self):
+        from hpc_suffix_array_tpu.core.lrs import find_longest_repeated_substring
+        if self.lcp is None:
+            self.build_lcp()
+        return find_longest_repeated_substring(self.text, self.sa, self.lcp)
+
+    def validate(self) -> bool:
+        from hpc_suffix_array_tpu.core.validate import is_valid_suffix_array
+        if self.sa is None:
+            self.build()
+        return is_valid_suffix_array(self.text, self.sa)

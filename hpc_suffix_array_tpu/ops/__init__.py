@@ -1,0 +1,14 @@
+"""Device-level compute ops: sorts, scans, shifts.
+
+These are the TPU-native replacements for the reference's hot native loops
+(LSD radix sort: reference src/sequential/manber_myers.c:15-48; re-rank scan:
+manber_myers.c:101-110). The default implementations use XLA's sort HLO and
+scan fusion; Pallas kernels (hpc_suffix_array_tpu.ops.pallas_sort) can be
+swapped in on TPU for the hot path.
+"""
+
+from hpc_suffix_array_tpu.ops.sort import sort_by_rank_pairs
+from hpc_suffix_array_tpu.ops.shift import shifted_ranks
+from hpc_suffix_array_tpu.ops.scan import rerank_sorted
+
+__all__ = ["sort_by_rank_pairs", "shifted_ranks", "rerank_sorted"]
