@@ -1,0 +1,46 @@
+# Convenience driver — UX parity with the reference Makefile targets
+# (reference Makefile:84-173: test / test-mpi / test-correctness /
+# run-benchmark / generate-data / charts / clean / help), adapted to the
+# TPU-native framework. All real logic lives in the Python package.
+
+PY ?= python
+
+.PHONY: test test-correctness test-parallel bench bench-all data charts clean help
+
+test:
+	$(PY) -m pytest tests/ -q
+
+# Golden LRS answers (reference Makefile:131-138): banana->ana,
+# mississippi->issi, abcabcabc->abcabc.
+test-correctness:
+	$(PY) -m hpc_suffix_array_tpu.cli banana | grep -q "'ana' (length: 3)"
+	$(PY) -m hpc_suffix_array_tpu.cli mississippi | grep -q "'issi' (length: 4)"
+	$(PY) -m hpc_suffix_array_tpu.cli abcabcabc | grep -q "'abcabc' (length: 6)"
+	@echo "golden correctness: OK"
+
+# Multi-device analog of `make test-mpi` (reference Makefile:126-128).
+test-parallel:
+	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	  $(PY) -m pytest tests/test_parallel.py -q
+
+bench:
+	$(PY) bench.py
+
+bench-all:
+	$(PY) -m hpc_suffix_array_tpu.bench.orchestrator --quick
+
+data:
+	$(PY) -c "from hpc_suffix_array_tpu.datasets import *; \
+	  generate_test_fixtures('test_data'); \
+	  generate_standard_datasets('test_data', random_mb=(1,), repetitive_mb=(1,), dna_mb=(10,))"
+
+charts:
+	$(PY) -c "from hpc_suffix_array_tpu.viz import *; \
+	  generate_comparative_charts(); generate_multi_backend_report()"
+
+clean:
+	rm -rf results __pycache__ **/__pycache__ .pytest_cache
+	rm -f hpc_suffix_array_tpu/native/_native_*.so
+
+help:
+	@echo "targets: test test-correctness test-parallel bench bench-all data charts clean"

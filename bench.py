@@ -1,0 +1,128 @@
+"""Headline benchmark: input bytes/sec/chip to full suffix array.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` is the throughput ratio vs the reference's sequential C
+implementation (src/sequential/manber_myers.c) compiled -O3 and measured on
+this machine on the same corpus family — the reference publishes no numbers
+of its own (see BASELINE.md), so the baseline is measured, not quoted. The
+C baseline run is cached in results/baseline_c.json.
+
+Env knobs:
+  SA_BENCH_BYTES      bench text size (default 1 GiB on TPU, 1 MiB on CPU)
+  SA_BENCH_BASELINE_BYTES  C baseline text size (default 16 MiB)
+  SA_BENCH_REPS       timed repetitions (default 3, best-of)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent
+REF = pathlib.Path("/root/reference")
+
+
+def _bench_text(n: int) -> np.ndarray:
+    """Random alnum corpus, the reference generator's main family
+    (scripts/generate_large_datasets.py:12-14)."""
+    rng = np.random.default_rng(0xBEEF)
+    alnum = np.frombuffer(
+        b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+        dtype=np.uint8)
+    return alnum[rng.integers(0, len(alnum), n)]
+
+
+def measure_tpu(n: int, reps: int) -> float:
+    """Best-of-reps seconds for a full suffix-array build of n bytes."""
+    import jax
+
+    from hpc_suffix_array_tpu.core.suffix_array import (
+        build_suffix_array, suffix_array_kernel, bucket_size)
+
+    text = _bench_text(n)
+    # Warmup compiles the bucketed shape.
+    jax.block_until_ready(build_suffix_array(text))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(build_suffix_array(text))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure_c_baseline(n: int) -> float | None:
+    """Bytes/sec of the reference sequential C build (SA phase only)."""
+    cache = REPO / "results" / "baseline_c.json"
+    if cache.exists():
+        data = json.loads(cache.read_text())
+        if data.get("bytes") == n:
+            return data["bytes_per_sec"]
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            exe = os.path.join(td, "main_sequential")
+            srcs = [str(REF / "src/sequential/main_sequential.c"),
+                    str(REF / "src/sequential/manber_myers.c"),
+                    str(REF / "src/common/utils.c")]
+            subprocess.run(
+                ["gcc", "-O3", "-std=c99", f"-I{REF}/src/common", "-o", exe]
+                + srcs, check=True, capture_output=True, timeout=120)
+            corpus = os.path.join(td, "corpus.txt")
+            _bench_text(n).tofile(corpus)
+            out = subprocess.run(
+                [exe, corpus], check=True, capture_output=True, text=True,
+                timeout=3600).stdout
+            m = re.search(r"SA_TIME:\s*([0-9.]+)", out)
+            if not m:
+                return None
+            bps = n / float(m.group(1))
+            cache.parent.mkdir(parents=True, exist_ok=True)
+            cache.write_text(json.dumps(
+                {"bytes": n, "bytes_per_sec": bps}))
+            return bps
+    except Exception:
+        return None
+
+
+def main() -> None:
+    import jax
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    default_n = 1 << 28 if on_tpu else 1 << 20
+    n = int(os.environ.get("SA_BENCH_BYTES", default_n))
+    reps = int(os.environ.get("SA_BENCH_REPS", "3"))
+    nb = int(os.environ.get("SA_BENCH_BASELINE_BYTES", 1 << 24))
+
+    # Halve on OOM so the driver always gets a number.
+    while True:
+        try:
+            secs = measure_tpu(n, reps)
+            break
+        except Exception:
+            if n <= 1 << 16:
+                raise
+            n //= 2
+            print(f"# falling back to {n} bytes", file=sys.stderr)
+    bps = n / secs
+
+    base_bps = measure_c_baseline(nb)
+    vs = (bps / base_bps) if base_bps else 0.0
+
+    print(json.dumps({
+        "metric": "suffix_array_build_throughput",
+        "value": round(bps / 1e6, 3),
+        "unit": "MB/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

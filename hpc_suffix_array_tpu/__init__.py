@@ -20,12 +20,18 @@ from hpc_suffix_array_tpu.core.suffix_array import (
 from hpc_suffix_array_tpu.core.lcp import build_lcp_array
 from hpc_suffix_array_tpu.core.lrs import find_longest_repeated_substring
 from hpc_suffix_array_tpu.core.validate import is_valid_suffix_array
+from hpc_suffix_array_tpu.parallel import (
+    build_suffix_array_sharded,
+    make_mesh,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "SuffixArray",
     "build_suffix_array",
+    "build_suffix_array_sharded",
+    "make_mesh",
     "build_lcp_array",
     "find_longest_repeated_substring",
     "is_valid_suffix_array",

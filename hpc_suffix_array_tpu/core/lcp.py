@@ -7,8 +7,8 @@ vector machine, so this module computes the *PLCP* array (LCP indexed by text
 position) with a data-parallel iterative algorithm, then permutes it into SA
 order (lcp[j] = plcp[sa[j]], lcp[0] = 0 - same contract as the reference).
 
-The parallel PLCP algorithm combines three O(n) vectorized steps per round
-inside one jitted ``lax.while_loop``:
+The parallel PLCP algorithm combines three O(n) vectorized steps per round,
+each round one fused jitted program:
 
   1. **Verified extension**: every unresolved position compares the next
      ``CMP_WIDTH`` bytes of (suffix i, suffix phi[i]) at its current verified
@@ -30,6 +30,13 @@ inside one jitted ``lax.while_loop``:
 Every value is a *verified lower bound* at all times, so all three steps are
 sound in any order; termination is guaranteed because each round either
 resolves a position or extends it by >= 1.
+
+The round loop is **host-driven** (one jitted round per dispatch, an
+all-resolved scalar synced per round) rather than a `lax.while_loop`:
+measured on 2 MB DNA, the while_loop variant cost 244 s of XLA:CPU compile
+for 0.6 s of runtime, while the identical per-round program compiles in
+~4 s; typical corpora converge in 1-5 rounds so the per-round host sync is
+noise. Everything inside a round stays fused and device-resident.
 
 Correctness oracle: Kasai in the native C helper
 (hpc_suffix_array_tpu.native) and a NumPy reference (core.oracle).
@@ -69,13 +76,56 @@ def _extend_chunk(text, n, args):
 
 
 @jax.jit
-def plcp_kernel(text: jnp.ndarray, sa: jnp.ndarray):
-    """Compute plcp int32[n]: plcp[i] = LCP(suffix i, its SA predecessor)."""
+def _plcp_setup(text: jnp.ndarray, sa: jnp.ndarray):
+    """phi[i] = SA-predecessor of suffix i (-1 for the SA head) and the
+    per-position upper bound limit[i] = n - max(i, phi[i])."""
     n = text.shape[0]
     iota = lax.iota(jnp.int32, n)
     isa = jnp.zeros((n,), jnp.int32).at[sa].set(iota)
     phi = jnp.where(isa > 0, sa[jnp.maximum(isa - 1, 0)], jnp.int32(-1))
     limit = jnp.where(phi >= 0, n - jnp.maximum(iota, phi), jnp.int32(0))
+    return phi, limit
+
+
+@functools.partial(jax.jit, donate_argnums=(4, 5))
+def _plcp_round(text, phi_p, limit_p, iota_p, cur, resolved):
+    """One fused propagate + jump + extend round (see module docstring)."""
+    n = text.shape[0]
+    n_pad = cur.shape[0]
+    nc = n_pad // min(n_pad, CHUNK)
+    chunk = n_pad // nc
+
+    # 1) monotone propagation (plcp[i]+i non-decreasing).
+    runmax = lax.associative_scan(jnp.maximum, cur + iota_p)
+    prop = jnp.clip(jnp.maximum(cur, runmax - iota_p), 0, limit_p)
+    cur = jnp.where(resolved, cur, prop)
+    resolved = resolved | (cur >= limit_p)
+
+    # 2) pointer jumping along the aligned phi chain.
+    for _ in range(JUMP_STEPS):
+        tgt = jnp.minimum(iota_p + cur, n_pad - 1)
+        aligned = (~resolved) & (iota_p + cur < n) & (phi_p[tgt] == phi_p + cur)
+        bumped = jnp.minimum(cur + cur[tgt], limit_p)
+        now_exact = aligned & resolved[tgt]
+        cur = jnp.where(aligned, bumped, cur)
+        resolved = resolved | now_exact | ((~resolved) & (cur >= limit_p))
+
+    # 3) verified extension by direct byte comparison, chunked.
+    active = ~resolved
+    m = lax.map(
+        functools.partial(_extend_chunk, text, n),
+        (cur.reshape(nc, chunk), phi_p.reshape(nc, chunk),
+         active.reshape(nc, chunk), iota_p.reshape(nc, chunk)),
+    ).reshape(n_pad)
+    cur = cur + jnp.where(active, m, 0)
+    resolved = resolved | (active & (m < CMP_WIDTH))
+    return cur, resolved, jnp.all(resolved)
+
+
+def plcp_kernel(text: jnp.ndarray, sa: jnp.ndarray):
+    """Compute plcp int32[n]: plcp[i] = LCP(suffix i, its SA predecessor)."""
+    n = int(text.shape[0])
+    phi, limit = _plcp_setup(text, sa)
 
     # Pad to a chunk multiple so the extension step maps over fixed tiles
     # (chunk shrinks for small inputs to avoid pure-padding work).
@@ -86,47 +136,18 @@ def plcp_kernel(text: jnp.ndarray, sa: jnp.ndarray):
     def pad1(x, value):
         return jnp.concatenate([x, jnp.full((pad,), value, x.dtype)]) if pad else x
 
-    cur0 = jnp.zeros((n_pad,), jnp.int32)
-    resolved0 = pad1(phi < 0, True)
+    cur = jnp.zeros((n_pad,), jnp.int32)
+    resolved = pad1(phi < 0, True)
     phi_p = pad1(phi, -1)
     limit_p = pad1(limit, 0)
     iota_p = lax.iota(jnp.int32, n_pad)
-    nc = n_pad // chunk
 
-    def cond(state):
-        cur, resolved, it = state
-        return (~jnp.all(resolved)) & (it < n + CMP_WIDTH)
-
-    def body(state):
-        cur, resolved, it = state
-        # 1) monotone propagation (plcp[i]+i non-decreasing).
-        runmax = lax.associative_scan(jnp.maximum, cur + iota_p)
-        prop = jnp.clip(jnp.maximum(cur, runmax - iota_p), 0, limit_p)
-        cur = jnp.where(resolved, cur, prop)
-        resolved = resolved | (cur >= limit_p)
-
-        # 2) pointer jumping along the aligned phi chain.
-        for _ in range(JUMP_STEPS):
-            tgt = jnp.minimum(iota_p + cur, n_pad - 1)
-            aligned = (~resolved) & (iota_p + cur < n) & (phi_p[tgt] == phi_p + cur)
-            bumped = jnp.minimum(cur + cur[tgt], limit_p)
-            now_exact = aligned & resolved[tgt]
-            cur = jnp.where(aligned, bumped, cur)
-            resolved = resolved | now_exact | ((~resolved) & (cur >= limit_p))
-
-        # 3) verified extension by direct byte comparison, chunked.
-        active = ~resolved
-        m = lax.map(
-            functools.partial(_extend_chunk, text, n),
-            (cur.reshape(nc, chunk), phi_p.reshape(nc, chunk),
-             active.reshape(nc, chunk), iota_p.reshape(nc, chunk)),
-        ).reshape(n_pad)
-        cur = cur + jnp.where(active, m, 0)
-        resolved = resolved | (active & (m < CMP_WIDTH))
-        return cur, resolved, it + CMP_WIDTH
-
-    cur, _resolved, _it = lax.while_loop(
-        cond, body, (cur0, resolved0, jnp.int32(0)))
+    # Host-driven convergence: bounded by n/CMP_WIDTH, typically 1-5 rounds.
+    for _ in range(n // CMP_WIDTH + 2):
+        cur, resolved, done = _plcp_round(
+            text, phi_p, limit_p, iota_p, cur, resolved)
+        if bool(done):
+            break
     return cur[:n]
 
 

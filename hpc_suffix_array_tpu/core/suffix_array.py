@@ -47,13 +47,21 @@ def _doubling_round(rank, k, idx):
     return new_rank, max_rank, s_idx
 
 
+# Symbols packed into the initial rank: 9 bits each (byte+1 in [1, 256],
+# pad sentinel 0), so H0 * 9 must stay below 31 bits. Starting the doubling
+# at h=3 instead of h=1 skips the two cheapest-information rounds - the
+# reference always starts from single chars (manber_myers.c:88-92).
+H0 = 3
+
+
 @jax.jit
 def suffix_array_kernel(rank0: jnp.ndarray):
     """Compute the suffix order for initial ranks ``rank0`` (int32[n], n >= 1).
 
-    ``rank0`` is byte+1 for real text positions and 0 for end padding: the
-    pad sentinel ranks below every real byte, so all pad suffixes sort first
-    and the real suffix array is the tail slice (see ``build_suffix_array``).
+    ``rank0`` is the packed order-preserving code of the H0-symbol prefix of
+    each suffix (see ``pack_initial_ranks``): pad positions code to 0, which
+    ranks below every real prefix, so all pad suffixes sort first and the
+    real suffix array is the tail slice (see ``build_suffix_array``).
 
     Returns:
       sa:     int32[n] suffix order (sa[j] = start of j-th smallest suffix).
@@ -72,9 +80,24 @@ def suffix_array_kernel(rank0: jnp.ndarray):
         new_rank, max_rank, s_idx = _doubling_round(rank, k, idx)
         return new_rank, k * 2, max_rank, s_idx, rounds + 1
 
-    init = (rank0, jnp.int32(1), jnp.int32(-1), idx, jnp.int32(0))
+    init = (rank0, jnp.int32(H0), jnp.int32(-1), idx, jnp.int32(0))
     rank, _k, _max_rank, sa, rounds = lax.while_loop(cond, body, init)
     return sa, rank, rounds
+
+
+def pack_initial_ranks(arr: np.ndarray, n_pad: int) -> np.ndarray:
+    """Order-preserving H0-symbol prefix code per position (host-side).
+
+    code(i) = sum_j (text[i+j]+1) << 9*(H0-1-j), with 0 past the text end -
+    lexicographic on the H0-prefix, pad positions 0. One vectorized pass.
+    """
+    n = int(arr.shape[0])
+    v = np.zeros(n_pad + H0 - 1, np.int32)
+    v[:n] = arr.astype(np.int32) + 1
+    out = np.zeros(n_pad, np.int32)
+    for j in range(H0):
+        out = (out << 9) | v[j:j + n_pad]
+    return out
 
 
 def bucket_size(n: int, multiple_of: int = 1) -> int:
@@ -105,10 +128,7 @@ def build_suffix_array(text) -> jnp.ndarray:
     if n == 0:
         return jnp.zeros((0,), jnp.int32)
     n_pad = bucket_size(n)
-    rank0 = jnp.concatenate([
-        jnp.asarray(arr, jnp.uint8).astype(jnp.int32) + 1,
-        jnp.zeros((n_pad - n,), jnp.int32),
-    ])
+    rank0 = pack_initial_ranks(arr, n_pad)
     sa, _rank, _rounds = suffix_array_kernel(rank0)
     return sa[n_pad - n:]
 

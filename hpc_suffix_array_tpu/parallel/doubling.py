@@ -1,0 +1,115 @@
+"""Sharded prefix-doubling driver: the distributed suffix-array builder.
+
+One jitted `shard_map` program replaces the reference's three backends
+(sequential C, MPI master-worker, absent CUDA): the same code runs on 1
+chip, 8 chips, or N hosts, differing only in the Mesh. Semantics match the
+sequential reference loop (src/sequential/manber_myers.c:97-125, early exit
+at :113) and therefore `core.suffix_array.suffix_array_kernel` exactly —
+the padded suffix order is unique, so dist output == single-device output
+== reference output.
+
+Per doubling round (all block-sharded, all inside ONE `lax.while_loop` —
+no per-round retrace, no host round-trip, no root bottleneck):
+
+  1. rank_k  <- butterfly shifted ranks        (parallel/shift.py)
+  2. sort (rank, rank_k, idx) globally         (parallel/bitonic.py)
+  3. dense re-rank + convergence scalar        (parallel/rerank.py)
+  4. route dense ranks back to position order  (bitonic sort by idx)
+
+Contrast with the reference MPI round (manber_myers_mpi.c:108-143):
+Gatherv(n records) -> root qsort -> root re-rank -> Bcast(n ranks). Here no
+step is serial and no device holds more than 2·(n/P) records.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from hpc_suffix_array_tpu.core.suffix_array import (
+    H0, as_byte_array, bucket_size, pack_initial_ranks)
+from hpc_suffix_array_tpu.parallel.bitonic import block_bitonic_sort
+from hpc_suffix_array_tpu.parallel.mesh import SEQ_AXIS, make_mesh, sequence_sharding
+from hpc_suffix_array_tpu.parallel.rerank import dist_rerank
+from hpc_suffix_array_tpu.parallel.shift import dist_shifted_ranks
+
+
+def _dist_round(rank, k, axis_name, n_shards):
+    """One sharded doubling round; returns (new_rank, max_rank, sa_local)."""
+    m = rank.shape[0]
+    me = lax.axis_index(axis_name)
+    gidx = me * m + lax.iota(jnp.int32, m)
+
+    rank_k = dist_shifted_ranks(rank, k, axis_name, n_shards)
+    s_rank, s_rank_k, s_idx = block_bitonic_sort(
+        (rank, rank_k, gidx), num_keys=3, axis_name=axis_name,
+        n_shards=n_shards)
+    dense, max_rank = dist_rerank(s_rank, s_rank_k, axis_name, n_shards)
+    # Route each record's dense rank to the shard owning its text position.
+    _, new_rank = block_bitonic_sort(
+        (s_idx, dense), num_keys=1, axis_name=axis_name, n_shards=n_shards)
+    return new_rank, max_rank, s_idx
+
+
+def _kernel_local(n_shards: int, rank0):
+    """shard_map body: local shard of the doubling loop (see module doc)."""
+    m = rank0.shape[0]
+    n = n_shards * m
+    me = lax.axis_index(SEQ_AXIS)
+    gidx = me * m + lax.iota(jnp.int32, m)
+
+    def cond(carry):
+        _rank, k, max_rank, _sa, _rounds = carry
+        return (max_rank < n - 1) & (k < 2 * n)
+
+    def body(carry):
+        rank, k, _max_rank, _sa, rounds = carry
+        new_rank, max_rank, sa = _dist_round(rank, k, SEQ_AXIS, n_shards)
+        return new_rank, k * 2, max_rank, sa, rounds + 1
+
+    init = (rank0, jnp.int32(H0), jnp.int32(-1), gidx, jnp.int32(0))
+    rank, _k, _max_rank, sa, rounds = lax.while_loop(cond, body, init)
+    return sa, rank, rounds
+
+
+@functools.cache
+def suffix_array_kernel_sharded(mesh: Mesh):
+    """Jitted sharded kernel for ``mesh``: rank0 (sharded int32[n]) ->
+    (sa, rank, rounds) with sa/rank block-sharded along SEQ_AXIS."""
+    n_shards = mesh.devices.size
+    f = jax.shard_map(
+        functools.partial(_kernel_local, n_shards),
+        mesh=mesh,
+        in_specs=PartitionSpec(SEQ_AXIS),
+        out_specs=(PartitionSpec(SEQ_AXIS), PartitionSpec(SEQ_AXIS),
+                   PartitionSpec()),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+def build_suffix_array_sharded(text, mesh: Mesh | None = None) -> jnp.ndarray:
+    """Suffix array of ``text``, computed block-sharded over ``mesh``.
+
+    Same pad-sentinel scheme as the single-device builder
+    (core/suffix_array.py): pad ranks (0) sort below all real bytes (+1),
+    so the real SA is the tail slice of the padded suffix order.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_shards = int(mesh.devices.size)
+    arr = as_byte_array(text)
+    n = int(arr.shape[0])
+    if n == 0:
+        return jnp.zeros((0,), jnp.int32)
+    # Shard width padded to the lane quantum so local arrays tile cleanly.
+    n_pad = bucket_size(n, multiple_of=n_shards * 128)
+    rank0 = jax.device_put(pack_initial_ranks(arr, n_pad),
+                           sequence_sharding(mesh))
+    sa, _rank, _rounds = suffix_array_kernel_sharded(mesh)(rank0)
+    return sa[n_pad - n:]

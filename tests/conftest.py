@@ -7,11 +7,22 @@ fakery (reference scripts/benchmark_mpi.py:61). Must run before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session environment pins JAX_PLATFORMS to the real TPU tunnel ("axon",
+# 1 chip, slow remote compiles) AND pre-imports jax at interpreter startup
+# via PYTHONPATH=/root/.axon_site — so jax's config has already snapshotted
+# the env var. Setting os.environ here is too late; jax.config.update is the
+# reliable override (the backend itself is not initialized until first use).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.local_device_count() == 8, (
+    "tests require the 8-device virtual CPU mesh; got "
+    f"{jax.devices()}")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

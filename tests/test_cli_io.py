@@ -1,0 +1,120 @@
+"""CLI, io, datasets, and bench-harness tests.
+
+Models the reference's golden-output CLI tests (reference Makefile:119-138)
+and the STRUCTURED_RESULTS parsing contract
+(scripts/benchmark_sequential.py:13-72).
+"""
+
+import io
+import json
+import re
+
+import numpy as np
+import pytest
+
+from hpc_suffix_array_tpu.cli import looks_like_file, main, run
+from hpc_suffix_array_tpu.datasets.generate import (
+    SMALL_FIXTURES, generate_dna_text, generate_random_text,
+    generate_repetitive_text, generate_test_fixtures)
+from hpc_suffix_array_tpu.utils.io import read_file, write_file
+
+
+def test_file_heuristic():
+    # reference main_sequential.c:65: '/' or '.' means file
+    assert looks_like_file("test_data/banana.txt")
+    assert looks_like_file("banana.txt")
+    assert not looks_like_file("banana")
+    assert not looks_like_file("mississippi")
+
+
+def test_cli_string_golden(capsys):
+    assert main(["banana"]) == 0
+    out = capsys.readouterr().out
+    assert "Longest repeated substring: 'ana' (length: 3)" in out
+    assert "Valid suffix array: YES" in out
+    # structured block parses with the reference harness regexes
+    assert re.search(r"SA_TIME:([0-9.]+)", out)
+    assert re.search(r"FILE_SIZE:6\b", out)
+    assert "===STRUCTURED_RESULTS===" in out
+    assert "===END_RESULTS===" in out
+
+
+def test_cli_file_and_mpi_dialect(tmp_path, capsys):
+    p = tmp_path / "mississippi.txt"
+    p.write_bytes(b"mississippi")
+    assert main([str(p), "--dialect", "both"]) == 0
+    out = capsys.readouterr().out
+    assert "Longest repeated substring: 'issi' (length: 4)" in out
+    assert "--- STRUCTURED_RESULTS ---" in out
+    assert re.search(r"ACTUAL_STRING_LENGTH:11\b", out)
+    assert re.search(r"MPI_PROCESSES:\d+", out)
+
+
+def test_cli_sharded_backend(capsys):
+    assert main(["abcabcabc", "--backend", "sharded", "--devices", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "Longest repeated substring: 'abcabc' (length: 6)" in out
+    assert re.search(r"PROCESSES:4\b", out)
+
+
+def test_io_roundtrip(tmp_path):
+    data = np.arange(256, dtype=np.uint8)
+    p = tmp_path / "blob.bin"
+    write_file(str(p), data)
+    back = read_file(str(p), mmap=False)
+    assert np.array_equal(np.asarray(back), data)
+    mm = read_file(str(p), mmap=True)
+    assert np.array_equal(np.asarray(mm), data)
+
+
+def test_dataset_generators():
+    r = generate_random_text(10_000, seed=1)
+    assert len(r) == 10_000
+    assert set(np.unique(r)) <= set(
+        np.frombuffer(
+            b"abcdefghijklmnopqrstuvwxyz"
+            b"ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789", np.uint8).tolist())
+    rep = generate_repetitive_text(5_000, seed=1, period=100)
+    assert np.array_equal(rep[:100], rep[100:200])
+    dna = generate_dna_text(1_000, seed=1)
+    assert set(np.unique(dna)) <= set(b"ACGT")
+    # deterministic per seed
+    assert np.array_equal(r, generate_random_text(10_000, seed=1))
+
+
+def test_fixture_generation_idempotent(tmp_path):
+    first = generate_test_fixtures(tmp_path)
+    assert sorted(p.name for p in first) == sorted(
+        f"{k}.txt" for k in SMALL_FIXTURES)
+    for p in first:
+        meta = json.loads(
+            p.with_suffix(p.suffix + ".meta").read_text())
+        assert meta["length"] == len(SMALL_FIXTURES[p.stem])
+    mtimes = {p: p.stat().st_mtime_ns for p in first}
+    second = generate_test_fixtures(tmp_path)   # idempotent: no rewrite
+    assert {p: p.stat().st_mtime_ns for p in second} == mtimes
+
+
+def test_bench_micro_and_harness(tmp_path):
+    import pandas as pd
+
+    from hpc_suffix_array_tpu.bench import (
+        benchmark_corpora, run_micro_benchmark)
+
+    res = run_micro_benchmark(
+        out_csv=tmp_path / "micro.csv", sizes=(1_000,), reps=1,
+        input_types=("random",), verbose=False)
+    assert len(res) == 1 and res[0].sa_time > 0
+    df = pd.read_csv(tmp_path / "micro.csv")
+    assert list(df.columns) == [
+        "implementation", "input_type", "string_length", "total_time",
+        "sa_time", "lcp_time", "lrs_time", "memory_used"]
+
+    fixtures = generate_test_fixtures(tmp_path / "data")
+    out = benchmark_corpora(
+        fixtures[:2], results_dir=tmp_path / "results",
+        mesh_sizes=(None, 2), verbose=False)
+    assert (tmp_path / "results" / "sequential_results.csv").exists()
+    par = pd.read_csv(tmp_path / "results" / "parallel_results.csv")
+    assert {"speedup", "efficiency"} <= set(par.columns)
+    assert (par["speedup"] > 0).all()   # the reference's silent-zero bug, fixed
