@@ -53,6 +53,7 @@ def run(text: np.ndarray, filename: str, backend: str, n_devices: int | None,
 
     n = int(text.shape[0])
     n_procs = 1
+    mesh = None
 
     t0 = time.perf_counter()
     if backend == "sharded":
@@ -65,7 +66,11 @@ def run(text: np.ndarray, filename: str, backend: str, n_devices: int | None,
         sa = _fence(build_suffix_array(text))
     t1 = time.perf_counter()
 
-    lcp = _fence(build_lcp_array(text, sa))
+    if mesh is not None:
+        from hpc_suffix_array_tpu.parallel import build_lcp_array_sharded
+        lcp = _fence(build_lcp_array_sharded(text, sa, mesh))
+    else:
+        lcp = _fence(build_lcp_array(text, sa))
     lrs = find_longest_repeated_substring(text, sa, lcp)
     t2 = time.perf_counter()
 

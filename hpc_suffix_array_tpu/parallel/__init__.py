@@ -14,10 +14,12 @@ from hpc_suffix_array_tpu.parallel.doubling import (
     build_suffix_array_sharded,
     suffix_array_kernel_sharded,
 )
+from hpc_suffix_array_tpu.parallel.lcp import build_lcp_array_sharded
 
 __all__ = [
     "make_mesh",
     "sequence_sharding",
     "build_suffix_array_sharded",
     "suffix_array_kernel_sharded",
+    "build_lcp_array_sharded",
 ]

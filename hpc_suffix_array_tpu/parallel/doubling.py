@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from hpc_suffix_array_tpu.core.suffix_array import (
     H0, as_byte_array, bucket_size, pack_initial_ranks)
 from hpc_suffix_array_tpu.parallel.bitonic import block_bitonic_sort
+from hpc_suffix_array_tpu.parallel.gather import dist_scatter_perm
 from hpc_suffix_array_tpu.parallel.mesh import SEQ_AXIS, make_mesh, sequence_sharding
 from hpc_suffix_array_tpu.parallel.rerank import dist_rerank
 from hpc_suffix_array_tpu.parallel.shift import dist_shifted_ranks
@@ -50,9 +51,10 @@ def _dist_round(rank, k, axis_name, n_shards):
         (rank, rank_k, gidx), num_keys=3, axis_name=axis_name,
         n_shards=n_shards)
     dense, max_rank = dist_rerank(s_rank, s_rank_k, axis_name, n_shards)
-    # Route each record's dense rank to the shard owning its text position.
-    _, new_rank = block_bitonic_sort(
-        (s_idx, dense), num_keys=1, axis_name=axis_name, n_shards=n_shards)
+    # Route each record's dense rank back to the shard owning its text
+    # position: s_idx is a global permutation, so a ring scatter (O(P)
+    # neighbor hops, linear local work) replaces a second full sort.
+    new_rank = dist_scatter_perm(dense, s_idx, axis_name, n_shards)
     return new_rank, max_rank, s_idx
 
 
