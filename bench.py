@@ -95,6 +95,14 @@ def measure_c_baseline(n: int) -> float | None:
 def main() -> None:
     import jax
 
+    try:
+        # Persist XLA compiles across bench runs (tunnel compiles are slow).
+        jax.config.update("jax_compilation_cache_dir",
+                          str(REPO / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     default_n = 1 << 28 if on_tpu else 1 << 20
     n = int(os.environ.get("SA_BENCH_BYTES", default_n))

@@ -76,7 +76,14 @@ def run(text: np.ndarray, filename: str, backend: str, n_devices: int | None,
 
     sa_time, lcp_time, total_time = t1 - t0, t2 - t1, t2 - t0
 
-    valid = is_valid_suffix_array(text, sa) if validate else None
+    if not validate:
+        valid = None
+    elif mesh is not None:
+        from hpc_suffix_array_tpu.parallel import (
+            is_valid_suffix_array_sharded)
+        valid = is_valid_suffix_array_sharded(text, sa, mesh)
+    else:
+        valid = is_valid_suffix_array(text, sa)
 
     print("\n=== RESULTS ===", file=out)
     if validate:

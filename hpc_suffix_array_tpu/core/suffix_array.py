@@ -47,21 +47,20 @@ def _doubling_round(rank, k, idx):
     return new_rank, max_rank, s_idx
 
 
-# Symbols packed into the initial rank: 9 bits each (byte+1 in [1, 256],
-# pad sentinel 0), so H0 * 9 must stay below 31 bits. Starting the doubling
-# at h=3 instead of h=1 skips the two cheapest-information rounds - the
-# reference always starts from single chars (manber_myers.c:88-92).
-H0 = 3
+# Bit budget for the packed initial rank code (must stay positive int32).
+PACK_BITS = 30
 
 
 @jax.jit
-def suffix_array_kernel(rank0: jnp.ndarray):
+def suffix_array_kernel(rank0: jnp.ndarray, k0: jnp.ndarray):
     """Compute the suffix order for initial ranks ``rank0`` (int32[n], n >= 1).
 
-    ``rank0`` is the packed order-preserving code of the H0-symbol prefix of
-    each suffix (see ``pack_initial_ranks``): pad positions code to 0, which
-    ranks below every real prefix, so all pad suffixes sort first and the
-    real suffix array is the tail slice (see ``build_suffix_array``).
+    ``rank0`` is the packed order-preserving code of the ``k0``-symbol
+    prefix of each suffix (see ``pack_initial_ranks``): pad positions code
+    to 0, which ranks below every real prefix, so all pad suffixes sort
+    first and the real suffix array is the tail slice (see
+    ``build_suffix_array``). ``k0`` is dynamic so texts with different
+    alphabet sizes share one compiled program.
 
     Returns:
       sa:     int32[n] suffix order (sa[j] = start of j-th smallest suffix).
@@ -72,32 +71,49 @@ def suffix_array_kernel(rank0: jnp.ndarray):
     idx = lax.iota(jnp.int32, n)
 
     def cond(carry):
-        _rank, k, max_rank, _sa, _rounds = carry
-        return (max_rank < n - 1) & (k < 2 * n)
+        _rank, k, max_rank, _sa, rounds = carry
+        # At least one round always runs: with a packed k0 the first sort
+        # may already cover the whole text (k0 >= 2n for tiny inputs), but
+        # the initial carry's sa is the unsorted iota.
+        return (rounds == 0) | ((max_rank < n - 1) & (k < 2 * n))
 
     def body(carry):
         rank, k, _max_rank, _sa, rounds = carry
         new_rank, max_rank, s_idx = _doubling_round(rank, k, idx)
         return new_rank, k * 2, max_rank, s_idx, rounds + 1
 
-    init = (rank0, jnp.int32(H0), jnp.int32(-1), idx, jnp.int32(0))
+    init = (rank0, jnp.asarray(k0, jnp.int32), jnp.int32(-1), idx,
+            jnp.int32(0))
     rank, _k, _max_rank, sa, rounds = lax.while_loop(cond, body, init)
     return sa, rank, rounds
 
 
-def pack_initial_ranks(arr: np.ndarray, n_pad: int) -> np.ndarray:
-    """Order-preserving H0-symbol prefix code per position (host-side).
+def pack_initial_ranks(arr: np.ndarray, n_pad: int) -> tuple[np.ndarray, int]:
+    """Alphabet-adaptive order-preserving prefix code per position (host).
 
-    code(i) = sum_j (text[i+j]+1) << 9*(H0-1-j), with 0 past the text end -
-    lexicographic on the H0-prefix, pad positions 0. One vectorized pass.
+    The alphabet is remapped to dense codes 1..K (0 = pad sentinel), each
+    symbol takes ceil(log2(K+1)) bits, and h0 = PACK_BITS // bits symbols
+    pack into one int32 - lexicographic on the h0-prefix. Small alphabets
+    start the doubling loop much later (DNA: h0 = 10; binary: h0 = 15;
+    full bytes: h0 = 3), skipping the cheapest-information rounds entirely.
+    The reference always starts from single chars (manber_myers.c:88-92).
+
+    Returns (codes int32[n_pad], h0).
     """
     n = int(arr.shape[0])
-    v = np.zeros(n_pad + H0 - 1, np.int32)
-    v[:n] = arr.astype(np.int32) + 1
+    if n == 0:
+        return np.zeros(n_pad, np.int32), 1
+    symbols = np.unique(arr)
+    remap = np.zeros(256, np.int32)
+    remap[symbols] = np.arange(1, len(symbols) + 1, dtype=np.int32)
+    bits = max(1, int(len(symbols)).bit_length())
+    h0 = max(1, PACK_BITS // bits)
+    v = np.zeros(n_pad + h0 - 1, np.int32)
+    v[:n] = remap[arr]
     out = np.zeros(n_pad, np.int32)
-    for j in range(H0):
-        out = (out << 9) | v[j:j + n_pad]
-    return out
+    for j in range(h0):
+        out = (out << bits) | v[j:j + n_pad]
+    return out, h0
 
 
 def bucket_size(n: int, multiple_of: int = 1) -> int:
@@ -128,8 +144,8 @@ def build_suffix_array(text) -> jnp.ndarray:
     if n == 0:
         return jnp.zeros((0,), jnp.int32)
     n_pad = bucket_size(n)
-    rank0 = pack_initial_ranks(arr, n_pad)
-    sa, _rank, _rounds = suffix_array_kernel(rank0)
+    rank0, h0 = pack_initial_ranks(arr, n_pad)
+    sa, _rank, _rounds = suffix_array_kernel(rank0, jnp.int32(h0))
     return sa[n_pad - n:]
 
 

@@ -15,6 +15,7 @@ from hpc_suffix_array_tpu.parallel.doubling import (
     suffix_array_kernel_sharded,
 )
 from hpc_suffix_array_tpu.parallel.lcp import build_lcp_array_sharded
+from hpc_suffix_array_tpu.parallel.validate import is_valid_suffix_array_sharded
 
 __all__ = [
     "make_mesh",
@@ -22,4 +23,5 @@ __all__ = [
     "build_suffix_array_sharded",
     "suffix_array_kernel_sharded",
     "build_lcp_array_sharded",
+    "is_valid_suffix_array_sharded",
 ]

@@ -32,7 +32,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from hpc_suffix_array_tpu.core.suffix_array import (
-    H0, as_byte_array, bucket_size, pack_initial_ranks)
+    as_byte_array, bucket_size, pack_initial_ranks)
 from hpc_suffix_array_tpu.parallel.bitonic import block_bitonic_sort
 from hpc_suffix_array_tpu.parallel.gather import dist_scatter_perm
 from hpc_suffix_array_tpu.parallel.mesh import SEQ_AXIS, make_mesh, sequence_sharding
@@ -58,7 +58,7 @@ def _dist_round(rank, k, axis_name, n_shards):
     return new_rank, max_rank, s_idx
 
 
-def _kernel_local(n_shards: int, rank0):
+def _kernel_local(n_shards: int, rank0, k0):
     """shard_map body: local shard of the doubling loop (see module doc)."""
     m = rank0.shape[0]
     n = n_shards * m
@@ -66,15 +66,17 @@ def _kernel_local(n_shards: int, rank0):
     gidx = me * m + lax.iota(jnp.int32, m)
 
     def cond(carry):
-        _rank, k, max_rank, _sa, _rounds = carry
-        return (max_rank < n - 1) & (k < 2 * n)
+        _rank, k, max_rank, _sa, rounds = carry
+        # At least one round (see core/suffix_array.py: tiny-n + packed k0).
+        return (rounds == 0) | ((max_rank < n - 1) & (k < 2 * n))
 
     def body(carry):
         rank, k, _max_rank, _sa, rounds = carry
         new_rank, max_rank, sa = _dist_round(rank, k, SEQ_AXIS, n_shards)
         return new_rank, k * 2, max_rank, sa, rounds + 1
 
-    init = (rank0, jnp.int32(H0), jnp.int32(-1), gidx, jnp.int32(0))
+    init = (rank0, jnp.asarray(k0, jnp.int32), jnp.int32(-1), gidx,
+            jnp.int32(0))
     rank, _k, _max_rank, sa, rounds = lax.while_loop(cond, body, init)
     return sa, rank, rounds
 
@@ -87,7 +89,7 @@ def suffix_array_kernel_sharded(mesh: Mesh):
     f = jax.shard_map(
         functools.partial(_kernel_local, n_shards),
         mesh=mesh,
-        in_specs=PartitionSpec(SEQ_AXIS),
+        in_specs=(PartitionSpec(SEQ_AXIS), PartitionSpec()),
         out_specs=(PartitionSpec(SEQ_AXIS), PartitionSpec(SEQ_AXIS),
                    PartitionSpec()),
         check_vma=False,
@@ -111,7 +113,8 @@ def build_suffix_array_sharded(text, mesh: Mesh | None = None) -> jnp.ndarray:
         return jnp.zeros((0,), jnp.int32)
     # Shard width padded to the lane quantum so local arrays tile cleanly.
     n_pad = bucket_size(n, multiple_of=n_shards * 128)
-    rank0 = jax.device_put(pack_initial_ranks(arr, n_pad),
-                           sequence_sharding(mesh))
-    sa, _rank, _rounds = suffix_array_kernel_sharded(mesh)(rank0)
+    rank0, h0 = pack_initial_ranks(arr, n_pad)
+    rank0 = jax.device_put(rank0, sequence_sharding(mesh))
+    sa, _rank, _rounds = suffix_array_kernel_sharded(mesh)(
+        rank0, jnp.int32(h0))
     return sa[n_pad - n:]
