@@ -88,26 +88,65 @@ def suffix_array_kernel(rank0: jnp.ndarray, k0: jnp.ndarray):
     return sa, rank, rounds
 
 
+def alphabet_remap(arr: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Dense alphabet codes for adaptive packing (host, one bincount pass).
+
+    Returns (remap int32[256] mapping byte -> code in 1..K, bits, h0):
+    each symbol takes bits = ceil(log2(K+1)) bits and h0 = PACK_BITS//bits
+    symbols pack into one int32 initial rank - so small alphabets start
+    the doubling loop much later (DNA: h0 = 10; binary: h0 = 15; full
+    bytes: h0 = 3). The reference always starts from single chars
+    (manber_myers.c:88-92).
+    """
+    present = np.bincount(arr, minlength=256) > 0
+    remap = np.cumsum(present).astype(np.int32) * present
+    k = int(remap.max()) if arr.size else 1
+    bits = max(1, int(k).bit_length())
+    h0 = max(1, PACK_BITS // bits)
+    return remap, bits, h0
+
+
+def pack_ranks_kernel(text_pad: jnp.ndarray, remap: jnp.ndarray,
+                      bits, h0, n_real) -> jnp.ndarray:
+    """Device-side packed initial ranks (order-preserving h0-prefix code).
+
+    ``text_pad`` is uint8[n_pad] (zero pad bytes past ``n_real``); codes
+    are looked up through ``remap`` and h0 of them are folded into each
+    position's int32 with dynamic ``bits``/``h0`` (all alphabets share one
+    compiled program). Runs fused inside the build kernel so only raw
+    bytes ever cross the host->device link.
+    """
+    n_pad = text_pad.shape[0]
+    codes = remap[text_pad]
+    iota = lax.iota(jnp.int32, n_pad)
+    codes = jnp.where(iota < n_real, codes, 0)
+    ext = jnp.concatenate([codes, jnp.zeros((PACK_BITS,), jnp.int32)])
+
+    def fold(j, out):
+        return (out << bits) | lax.dynamic_slice(ext, (j,), (n_pad,))
+
+    return lax.fori_loop(0, h0, fold, jnp.zeros((n_pad,), jnp.int32))
+
+
+@jax.jit
+def suffix_array_from_bytes_kernel(text_pad: jnp.ndarray, remap: jnp.ndarray,
+                                   bits: jnp.ndarray, h0: jnp.ndarray,
+                                   n_real: jnp.ndarray):
+    """One-dispatch build: device-side packing + the doubling loop."""
+    rank0 = pack_ranks_kernel(text_pad, remap, bits, h0, n_real)
+    return suffix_array_kernel(rank0, h0)
+
+
 def pack_initial_ranks(arr: np.ndarray, n_pad: int) -> tuple[np.ndarray, int]:
-    """Alphabet-adaptive order-preserving prefix code per position (host).
+    """Host-side packed initial ranks (same code as pack_ranks_kernel).
 
-    The alphabet is remapped to dense codes 1..K (0 = pad sentinel), each
-    symbol takes ceil(log2(K+1)) bits, and h0 = PACK_BITS // bits symbols
-    pack into one int32 - lexicographic on the h0-prefix. Small alphabets
-    start the doubling loop much later (DNA: h0 = 10; binary: h0 = 15;
-    full bytes: h0 = 3), skipping the cheapest-information rounds entirely.
-    The reference always starts from single chars (manber_myers.c:88-92).
-
-    Returns (codes int32[n_pad], h0).
+    Used by the sharded builder, whose packing currently happens before
+    `device_put` shards the array.
     """
     n = int(arr.shape[0])
     if n == 0:
         return np.zeros(n_pad, np.int32), 1
-    symbols = np.unique(arr)
-    remap = np.zeros(256, np.int32)
-    remap[symbols] = np.arange(1, len(symbols) + 1, dtype=np.int32)
-    bits = max(1, int(len(symbols)).bit_length())
-    h0 = max(1, PACK_BITS // bits)
+    remap, bits, h0 = alphabet_remap(arr)
     v = np.zeros(n_pad + h0 - 1, np.int32)
     v[:n] = remap[arr]
     out = np.zeros(n_pad, np.int32)
@@ -144,8 +183,13 @@ def build_suffix_array(text) -> jnp.ndarray:
     if n == 0:
         return jnp.zeros((0,), jnp.int32)
     n_pad = bucket_size(n)
-    rank0, h0 = pack_initial_ranks(arr, n_pad)
-    sa, _rank, _rounds = suffix_array_kernel(rank0, jnp.int32(h0))
+    host = np.zeros(n_pad, np.uint8)
+    host[:n] = arr
+    text_pad = jnp.asarray(host)
+    remap, bits, h0 = alphabet_remap(arr)
+    sa, _rank, _rounds = suffix_array_from_bytes_kernel(
+        text_pad, jnp.asarray(remap), jnp.int32(bits), jnp.int32(h0),
+        jnp.int32(n))
     return sa[n_pad - n:]
 
 
