@@ -16,24 +16,32 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def rerank_sorted(sorted_rank: jnp.ndarray, sorted_rank_k: jnp.ndarray,
-                  sorted_idx: jnp.ndarray):
-    """Assign dense ranks to the sorted records and permute to suffix order.
+def dense_ranks(sorted_rank: jnp.ndarray, sorted_rank_k: jnp.ndarray):
+    """Dense rank per sorted record (cumsum of adjacent-difference flags).
 
-    Returns:
-      new_rank: int32[n] rank indexed by suffix start position.
-      max_rank: int32 scalar, the largest assigned rank. ``max_rank == n-1``
-                means all ranks are distinct (early-termination condition,
-                reference manber_myers.c:113).
+    Returns (dense int32[n], max_rank scalar). ``max_rank == n-1`` means
+    all ranks are distinct (early-termination condition, reference
+    manber_myers.c:113).
     """
-    n = sorted_rank.shape[0]
     prev_r = jnp.concatenate([sorted_rank[:1], sorted_rank[:-1]])
     prev_rk = jnp.concatenate([sorted_rank_k[:1], sorted_rank_k[:-1]])
     bumps = (sorted_rank != prev_r) | (sorted_rank_k != prev_rk)
     bumps = bumps.at[0].set(False)
     dense = jnp.cumsum(bumps.astype(jnp.int32))
+    return dense, dense[-1]
+
+
+def route_to_positions(sorted_idx: jnp.ndarray, dense: jnp.ndarray):
+    """Permute dense ranks from sorted order back to suffix-position order."""
+    n = sorted_idx.shape[0]
     if jax.default_backend() == "cpu":
-        new_rank = jnp.zeros((n,), jnp.int32).at[sorted_idx].set(dense)
-    else:
-        _, new_rank = lax.sort((sorted_idx, dense), num_keys=1)
-    return new_rank, dense[-1]
+        return jnp.zeros((n,), jnp.int32).at[sorted_idx].set(dense)
+    _, new_rank = lax.sort((sorted_idx, dense), num_keys=1)
+    return new_rank
+
+
+def rerank_sorted(sorted_rank: jnp.ndarray, sorted_rank_k: jnp.ndarray,
+                  sorted_idx: jnp.ndarray):
+    """Dense re-rank + permutation to suffix order (see the two stages)."""
+    dense, max_rank = dense_ranks(sorted_rank, sorted_rank_k)
+    return route_to_positions(sorted_idx, dense), max_rank

@@ -46,6 +46,7 @@ def _dist_round(rank, k, axis_name, n_shards):
     me = lax.axis_index(axis_name)
     gidx = me * m + lax.iota(jnp.int32, m)
 
+    n = n_shards * m
     rank_k = dist_shifted_ranks(rank, k, axis_name, n_shards)
     s_rank, s_rank_k, s_idx = block_bitonic_sort(
         (rank, rank_k, gidx), num_keys=3, axis_name=axis_name,
@@ -53,8 +54,13 @@ def _dist_round(rank, k, axis_name, n_shards):
     dense, max_rank = dist_rerank(s_rank, s_rank_k, axis_name, n_shards)
     # Route each record's dense rank back to the shard owning its text
     # position: s_idx is a global permutation, so a ring scatter (O(P)
-    # neighbor hops, linear local work) replaces a second full sort.
-    new_rank = dist_scatter_perm(dense, s_idx, axis_name, n_shards)
+    # neighbor hops, linear local work) replaces a second full sort. On
+    # the converged round new_rank is never read again — skip the route
+    # (max_rank is psum-replicated, so every shard takes the same branch).
+    new_rank = lax.cond(
+        max_rank >= n - 1,
+        lambda: rank,
+        lambda: dist_scatter_perm(dense, s_idx, axis_name, n_shards))
     return new_rank, max_rank, s_idx
 
 
