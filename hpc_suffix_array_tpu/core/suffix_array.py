@@ -225,25 +225,35 @@ class SuffixArray:
     text: np.ndarray            # uint8[n]
     sa: jnp.ndarray | None = None     # int32[n]
     lcp: jnp.ndarray | None = None    # int32[n]
+    mesh: object | None = None        # jax.sharding.Mesh -> sharded kernels
     timings: dict = field(default_factory=dict)
 
     @classmethod
-    def create(cls, text) -> "SuffixArray":
-        return cls(text=as_byte_array(text))
+    def create(cls, text, mesh=None) -> "SuffixArray":
+        return cls(text=as_byte_array(text), mesh=mesh)
 
     @property
     def n(self) -> int:
         return int(self.text.shape[0])
 
     def build(self) -> "SuffixArray":
-        self.sa = build_suffix_array(self.text)
+        if self.mesh is not None:
+            from hpc_suffix_array_tpu.parallel import (
+                build_suffix_array_sharded)
+            self.sa = build_suffix_array_sharded(self.text, self.mesh)
+        else:
+            self.sa = build_suffix_array(self.text)
         return self
 
     def build_lcp(self) -> "SuffixArray":
-        from hpc_suffix_array_tpu.core.lcp import build_lcp_array
         if self.sa is None:
             self.build()
-        self.lcp = build_lcp_array(self.text, self.sa)
+        if self.mesh is not None:
+            from hpc_suffix_array_tpu.parallel import build_lcp_array_sharded
+            self.lcp = build_lcp_array_sharded(self.text, self.sa, self.mesh)
+        else:
+            from hpc_suffix_array_tpu.core.lcp import build_lcp_array
+            self.lcp = build_lcp_array(self.text, self.sa)
         return self
 
     def longest_repeated_substring(self):
@@ -253,7 +263,11 @@ class SuffixArray:
         return find_longest_repeated_substring(self.text, self.sa, self.lcp)
 
     def validate(self) -> bool:
-        from hpc_suffix_array_tpu.core.validate import is_valid_suffix_array
         if self.sa is None:
             self.build()
+        if self.mesh is not None:
+            from hpc_suffix_array_tpu.parallel import (
+                is_valid_suffix_array_sharded)
+            return is_valid_suffix_array_sharded(self.text, self.sa, self.mesh)
+        from hpc_suffix_array_tpu.core.validate import is_valid_suffix_array
         return is_valid_suffix_array(self.text, self.sa)
