@@ -61,8 +61,7 @@ def measure_tpu(n: int, reps: int) -> float:
     host[:n] = text
     text_pad = jnp.asarray(host)
     remap, bits, h0 = alphabet_remap(text)
-    args = (text_pad, jnp.asarray(remap), jnp.int32(bits), jnp.int32(h0),
-            jnp.int32(n))
+    args = (text_pad, jnp.asarray(remap), bits, h0, jnp.int32(n))
 
     sa, _r, _rounds = suffix_array_from_bytes_kernel(*args)   # warmup/compile
     jax.device_get(sa[-1])

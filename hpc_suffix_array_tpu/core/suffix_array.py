@@ -115,34 +115,42 @@ def alphabet_remap(arr: np.ndarray) -> tuple[np.ndarray, int, int]:
 
 
 def pack_ranks_kernel(text_pad: jnp.ndarray, remap: jnp.ndarray,
-                      bits, h0, n_real) -> jnp.ndarray:
+                      bits: int, h0: int, n_real) -> jnp.ndarray:
     """Device-side packed initial ranks (order-preserving h0-prefix code).
 
     ``text_pad`` is uint8[n_pad] (zero pad bytes past ``n_real``); codes
     are looked up through ``remap`` and h0 of them are folded into each
-    position's int32 with dynamic ``bits``/``h0`` (all alphabets share one
-    compiled program). Runs fused inside the build kernel so only raw
-    bytes ever cross the host->device link.
+    position's int32. ``bits``/``h0`` must be STATIC: the fold then
+    unrolls into fused static-offset reads. (A dynamic-h0 variant used
+    `lax.dynamic_slice` per step — each unaligned dynamic slice is a
+    full lane-rotate on TPU, measured ~35 ms apiece at 2^24, which made
+    packing cost more than a whole doubling round.) Runs fused inside
+    the build kernel so only raw bytes cross the host->device link.
     """
     n_pad = text_pad.shape[0]
     codes = remap[text_pad]
     iota = lax.iota(jnp.int32, n_pad)
     codes = jnp.where(iota < n_real, codes, 0)
+    if jax.default_backend() == "tpu" and n_pad % 128 == 0:
+        from hpc_suffix_array_tpu.kernels.pack import pack_ranks_pallas
+        return pack_ranks_pallas(codes, bits, h0)
     ext = jnp.concatenate([codes, jnp.zeros((PACK_BITS,), jnp.int32)])
+    out = jnp.zeros((n_pad,), jnp.int32)
+    for j in range(h0):
+        out = (out << bits) | lax.slice(ext, (j,), (j + n_pad,))
+    return out
 
-    def fold(j, out):
-        return (out << bits) | lax.dynamic_slice(ext, (j,), (n_pad,))
 
-    return lax.fori_loop(0, h0, fold, jnp.zeros((n_pad,), jnp.int32))
-
-
-@jax.jit
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def suffix_array_from_bytes_kernel(text_pad: jnp.ndarray, remap: jnp.ndarray,
-                                   bits: jnp.ndarray, h0: jnp.ndarray,
-                                   n_real: jnp.ndarray):
-    """One-dispatch build: device-side packing + the doubling loop."""
+                                   bits: int, h0: int, n_real: jnp.ndarray):
+    """One-dispatch build: device-side packing + the doubling loop.
+
+    bits/h0 are static (one cached compile per alphabet class; there are
+    at most 8 distinct (bits, h0) pairs for byte alphabets).
+    """
     rank0 = pack_ranks_kernel(text_pad, remap, bits, h0, n_real)
-    return suffix_array_kernel(rank0, h0)
+    return suffix_array_kernel(rank0, jnp.int32(h0))
 
 
 def pack_initial_ranks(arr: np.ndarray, n_pad: int) -> tuple[np.ndarray, int]:
@@ -196,8 +204,7 @@ def build_suffix_array(text) -> jnp.ndarray:
     text_pad = jnp.asarray(host)
     remap, bits, h0 = alphabet_remap(arr)
     sa, _rank, _rounds = suffix_array_from_bytes_kernel(
-        text_pad, jnp.asarray(remap), jnp.int32(bits), jnp.int32(h0),
-        jnp.int32(n))
+        text_pad, jnp.asarray(remap), bits, h0, jnp.int32(n))
     return sa[n_pad - n:]
 
 
