@@ -14,7 +14,7 @@ from jax import lax
 
 
 def sort_by_rank_pairs(rank: jnp.ndarray, rank_k: jnp.ndarray, idx: jnp.ndarray):
-    """Sort suffix records by the (rank, rank_k) pair, tie-broken by idx.
+    """Sort suffix records by the (rank, rank_k) pair; idx rides as payload.
 
     Args:
       rank:   int32[n] current rank of suffix i (most significant key).
@@ -25,5 +25,11 @@ def sort_by_rank_pairs(rank: jnp.ndarray, rank_k: jnp.ndarray, idx: jnp.ndarray)
 
     Returns:
       (sorted_rank, sorted_rank_k, sorted_idx) tuple of int32[n].
+
+    idx is a payload, not a third key: records tying on (rank, rank_k)
+    receive the same dense rank whatever their relative order, and the
+    final round's order is unique (all ranks distinct - the pad sentinel
+    makes every suffix distinct), so the SA is exact either way while the
+    comparator does one fewer compare per exchange.
     """
-    return lax.sort((rank, rank_k, idx), num_keys=3, is_stable=False)
+    return lax.sort((rank, rank_k, idx), num_keys=2, is_stable=False)
