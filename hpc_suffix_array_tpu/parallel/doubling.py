@@ -14,7 +14,7 @@ no per-round retrace, no host round-trip, no root bottleneck):
   1. rank_k  <- butterfly shifted ranks        (parallel/shift.py)
   2. sort (rank, rank_k, idx) globally         (parallel/bitonic.py)
   3. dense re-rank + convergence scalar        (parallel/rerank.py)
-  4. route dense ranks back to position order  (bitonic sort by idx)
+  4. route dense ranks back to position order  (ring scatter, gather.py)
 
 Contrast with the reference MPI round (manber_myers_mpi.c:108-143):
 Gatherv(n records) -> root qsort -> root re-rank -> Bcast(n ranks). Here no
@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh, PartitionSpec
 
 from hpc_suffix_array_tpu.core.suffix_array import (
     as_byte_array, bucket_size, pack_initial_ranks)

@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-from hpc_suffix_array_tpu.parallel.mesh import SEQ_AXIS, make_mesh
+from hpc_suffix_array_tpu.parallel.mesh import make_mesh
 
 
 def initialize_distributed(coordinator_address: str | None = None,
