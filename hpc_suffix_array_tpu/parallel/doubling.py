@@ -32,7 +32,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec
 
 from hpc_suffix_array_tpu.core.suffix_array import (
-    as_byte_array, bucket_size, pack_initial_ranks)
+    PACK_BITS, alphabet_remap, as_byte_array, bucket_size)
 from hpc_suffix_array_tpu.parallel.bitonic import block_bitonic_sort
 from hpc_suffix_array_tpu.parallel.gather import dist_scatter_perm
 from hpc_suffix_array_tpu.parallel.mesh import SEQ_AXIS, make_mesh, sequence_sharding
@@ -62,6 +62,27 @@ def _dist_round(rank, k, axis_name, n_shards):
         lambda: rank,
         lambda: dist_scatter_perm(dense, s_idx, axis_name, n_shards))
     return new_rank, max_rank, s_idx
+
+
+def _pack_local(n_shards: int, bits: int, h0: int, text_u8, remap, n_real):
+    """Per-shard packed initial ranks with a static neighbor halo pull.
+
+    Mirrors core/suffix_array.pack_ranks_kernel but block-sharded: the
+    h0-1 codes that windows near the shard end need come from the next
+    shard via one statically-patterned ppermute (pad shards read 0).
+    """
+    m = text_u8.shape[0]
+    me = lax.axis_index(SEQ_AXIS)
+    g = me * m + lax.iota(jnp.int32, m)
+    codes = jnp.where(g < n_real, remap[text_u8], 0)
+    halo = lax.ppermute(
+        codes[:PACK_BITS], SEQ_AXIS,
+        [(i, i - 1) for i in range(1, n_shards)])   # last shard: zeros
+    ext = jnp.concatenate([codes, halo])
+    out = jnp.zeros((m,), jnp.int32)
+    for j in range(h0):
+        out = (out << bits) | lax.slice(ext, (j,), (j + m,))
+    return out
 
 
 def _kernel_local(n_shards: int, rank0, k0):
@@ -103,6 +124,29 @@ def suffix_array_kernel_sharded(mesh: Mesh):
     return jax.jit(f)
 
 
+@functools.cache
+def suffix_array_from_bytes_sharded(mesh: Mesh, bits: int, h0: int):
+    """Jitted sharded build from raw bytes: device-side per-shard packing
+    (halo ppermute) + the doubling loop, one dispatch. Only uint8 text
+    crosses the host->device link."""
+    n_shards = mesh.devices.size
+
+    def local(text_u8, remap, n_real):
+        rank0 = _pack_local(n_shards, bits, h0, text_u8, remap, n_real)
+        return _kernel_local(n_shards, rank0, h0)
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(PartitionSpec(SEQ_AXIS), PartitionSpec(),
+                  PartitionSpec()),
+        out_specs=(PartitionSpec(SEQ_AXIS), PartitionSpec(SEQ_AXIS),
+                   PartitionSpec()),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
 def build_suffix_array_sharded(text, mesh: Mesh | None = None) -> jnp.ndarray:
     """Suffix array of ``text``, computed block-sharded over ``mesh``.
 
@@ -119,8 +163,10 @@ def build_suffix_array_sharded(text, mesh: Mesh | None = None) -> jnp.ndarray:
         return jnp.zeros((0,), jnp.int32)
     # Shard width padded to the lane quantum so local arrays tile cleanly.
     n_pad = bucket_size(n, multiple_of=n_shards * 128)
-    rank0, h0 = pack_initial_ranks(arr, n_pad)
-    rank0 = jax.device_put(rank0, sequence_sharding(mesh))
-    sa, _rank, _rounds = suffix_array_kernel_sharded(mesh)(
-        rank0, jnp.int32(h0))
+    remap, bits, h0 = alphabet_remap(arr)
+    text_pad = np.zeros(n_pad, np.uint8)
+    text_pad[:n] = arr
+    text_d = jax.device_put(text_pad, sequence_sharding(mesh))
+    sa, _rank, _rounds = suffix_array_from_bytes_sharded(mesh, bits, h0)(
+        text_d, jnp.asarray(remap), jnp.int32(n))
     return sa[n_pad - n:]
