@@ -118,3 +118,21 @@ def test_bench_micro_and_harness(tmp_path):
     par = pd.read_csv(tmp_path / "results" / "parallel_results.csv")
     assert {"speedup", "efficiency"} <= set(par.columns)
     assert (par["speedup"] > 0).all()   # the reference's silent-zero bug, fixed
+
+
+def test_structured_results_parser(capsys):
+    from hpc_suffix_array_tpu.bench.parse import (
+        parse_all_structured_results, parse_structured_results)
+
+    assert main(["banana", "--dialect", "both"]) == 0
+    out = capsys.readouterr().out
+    rec = parse_structured_results(out)
+    assert rec["dialect"] == "sequential"
+    assert rec["file_size"] == 6
+    assert rec["implementation"] == "tpu"
+    assert rec["sa_time"] > 0
+    both = parse_all_structured_results(out)
+    assert len(both) == 2
+    mpi = [r for r in both if r["dialect"] == "mpi"][0]
+    assert mpi["actual_string_length"] == 6
+    assert parse_structured_results("no block here") == {}
