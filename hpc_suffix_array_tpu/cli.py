@@ -174,6 +174,9 @@ def main(argv=None) -> int:
                    help="force the argument to be a literal string")
     p.add_argument("--file", dest="force_file", action="store_true",
                    help="force the argument to be a file path")
+    p.add_argument("--trace", metavar="DIR", default=None,
+                   help="write a jax.profiler device trace to DIR "
+                        "(TensorBoard profile plugin)")
     args = p.parse_args(argv)
 
     from hpc_suffix_array_tpu.utils.io import (
@@ -205,8 +208,15 @@ def main(argv=None) -> int:
         print(f"Input string: {args.input}")
         print(f"String length: {len(text)}")
 
-    run(text, filename, args.backend, args.devices,
-        validate=not args.no_validate, dialect=args.dialect)
+    if args.trace:
+        from hpc_suffix_array_tpu.utils.profiling import device_trace
+        with device_trace(args.trace):
+            run(text, filename, args.backend, args.devices,
+                validate=not args.no_validate, dialect=args.dialect)
+        print(f"device trace written to {args.trace}")
+    else:
+        run(text, filename, args.backend, args.devices,
+            validate=not args.no_validate, dialect=args.dialect)
     return 0
 
 

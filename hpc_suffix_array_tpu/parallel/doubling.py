@@ -32,11 +32,11 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec
 
 from hpc_suffix_array_tpu.core.suffix_array import (
-    PACK_BITS, alphabet_remap, as_byte_array, bucket_size)
+    FACTOR, PACK_BITS, alphabet_remap, as_byte_array, bucket_size)
 from hpc_suffix_array_tpu.parallel.bitonic import block_bitonic_sort
 from hpc_suffix_array_tpu.parallel.gather import dist_scatter_perm
 from hpc_suffix_array_tpu.parallel.mesh import SEQ_AXIS, make_mesh, sequence_sharding
-from hpc_suffix_array_tpu.parallel.rerank import dist_rerank
+from hpc_suffix_array_tpu.parallel.rerank import dist_rerank_multi
 from hpc_suffix_array_tpu.parallel.shift import dist_shifted_ranks
 
 
@@ -47,11 +47,14 @@ def _dist_round(rank, k, axis_name, n_shards):
     gidx = me * m + lax.iota(jnp.int32, m)
 
     n = n_shards * m
-    rank_k = dist_shifted_ranks(rank, k, axis_name, n_shards)
-    s_rank, s_rank_k, s_idx = block_bitonic_sort(
-        (rank, rank_k, gidx), num_keys=3, axis_name=axis_name,
+    shifts = [dist_shifted_ranks(rank, j * k, axis_name, n_shards)
+              for j in range(1, FACTOR)]
+    sorted_cols = block_bitonic_sort(
+        (rank, *shifts, gidx), num_keys=FACTOR + 1, axis_name=axis_name,
         n_shards=n_shards)
-    dense, max_rank = dist_rerank(s_rank, s_rank_k, axis_name, n_shards)
+    s_idx = sorted_cols[-1]
+    dense, max_rank = dist_rerank_multi(
+        sorted_cols[:-1], axis_name, n_shards)
     # Route each record's dense rank back to the shard owning its text
     # position: s_idx is a global permutation, so a ring scatter (O(P)
     # neighbor hops, linear local work) replaces a second full sort. On
@@ -100,7 +103,7 @@ def _kernel_local(n_shards: int, rank0, k0):
     def body(carry):
         rank, k, _max_rank, _sa, rounds = carry
         new_rank, max_rank, sa = _dist_round(rank, k, SEQ_AXIS, n_shards)
-        return new_rank, k * 2, max_rank, sa, rounds + 1
+        return new_rank, k * FACTOR, max_rank, sa, rounds + 1
 
     init = (rank0, jnp.asarray(k0, jnp.int32), jnp.int32(-1), gidx,
             jnp.int32(0))

@@ -15,9 +15,14 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def dist_rerank(s_rank: jnp.ndarray, s_rank_k: jnp.ndarray, axis_name: str,
-                n_shards: int):
-    """Dense ranks for block-sharded, globally sorted (rank, rank_k) pairs.
+def dist_rerank(*args, **kwargs):
+    """Two-column convenience wrapper over :func:`dist_rerank_multi`."""
+    s_rank, s_rank_k, axis_name, n_shards = args
+    return dist_rerank_multi((s_rank, s_rank_k), axis_name, n_shards)
+
+
+def dist_rerank_multi(sorted_cols, axis_name: str, n_shards: int):
+    """Dense ranks for block-sharded, globally sorted key columns.
 
     Returns:
       dense:    int32[m] dense rank of each local sorted record (global
@@ -29,13 +34,15 @@ def dist_rerank(s_rank: jnp.ndarray, s_rank_k: jnp.ndarray, axis_name: str,
     me = lax.axis_index(axis_name)
 
     # Fetch predecessor of our first record: last record of shard me-1.
-    lasts = jnp.stack([s_rank[-1:], s_rank_k[-1:]])          # (2, 1)
+    lasts = jnp.stack([c[-1:] for c in sorted_cols])         # (C, 1)
     perm = [(i, i + 1) for i in range(n_shards - 1)]
     prev = lax.ppermute(lasts, axis_name, perm)              # shard 0: zeros
-    prev_r = jnp.concatenate([prev[0], s_rank[:-1]])
-    prev_rk = jnp.concatenate([prev[1], s_rank_k[:-1]])
 
-    bumps = (s_rank != prev_r) | (s_rank_k != prev_rk)
+    bumps = None
+    for c, col in enumerate(sorted_cols):
+        prev_col = jnp.concatenate([prev[c], col[:-1]])
+        b = col != prev_col
+        bumps = b if bumps is None else (bumps | b)
     # The globally first record has no predecessor: its flag must be 0.
     bumps = bumps.at[0].set(jnp.where(me == 0, False, bumps[0]))
 

@@ -17,7 +17,7 @@ def test_bench_json_line():
                SA_BENCH_REPS="1")
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")], capture_output=True,
-        text=True, timeout=300, env=env, cwd=REPO)
+        text=True, timeout=600, env=env, cwd=REPO)
     assert out.returncode == 0, out.stderr[-500:]
     lines = [l for l in out.stdout.splitlines() if l.strip().startswith("{")]
     assert len(lines) == 1, out.stdout
