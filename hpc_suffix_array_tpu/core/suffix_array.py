@@ -42,7 +42,10 @@ from hpc_suffix_array_tpu.ops.sort import sort_by_rank_pairs
 # cost (v5e, 2^24: 2-key 90 ms vs 3-key 93 ms) but log3 instead of log2
 # rounds — a ~1.6x round-count cut on periodic texts, where round count
 # is the whole cost (k must exceed the period before ranks separate).
-FACTOR = 3
+# Measured caveat: FACTOR=3 tripled XLA compile time (tunnel compiles of
+# the big shapes went from ~3 min to >20 min), so the default stays 2
+# until the compile cost is understood; the machinery is FACTOR-generic.
+FACTOR = 2
 
 
 def _doubling_round(rank, k, idx):
