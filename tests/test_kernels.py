@@ -31,3 +31,32 @@ def test_pack_zero_tail(rng):
     codes[:100] = rng.integers(1, 4, 100)
     got = np.asarray(pack_ranks_pallas(jnp.asarray(codes), 2, 15, True))
     assert np.array_equal(got, _reference_pack(codes, 2, 15))
+
+
+class TestRadix:
+    """Radix-partition groundwork kernels (interpret mode; see kernels/radix.py)."""
+
+    def test_pass_stable(self, rng):
+        import jax.numpy as jnp
+        from hpc_suffix_array_tpu.kernels.radix import BLOCK, radix_pass
+
+        n = BLOCK * 2
+        keys = rng.integers(0, 1 << 20, n).astype(np.int32)
+        pay = np.arange(n, dtype=np.int32)
+        k1, p1 = radix_pass(jnp.asarray(keys), jnp.asarray(pay), 0, True)
+        order = np.argsort(keys & 15, kind="stable")
+        assert np.array_equal(np.asarray(p1), order)
+        assert np.array_equal(np.asarray(k1), keys[order])
+
+    def test_full_sort(self, rng):
+        import jax.numpy as jnp
+        from hpc_suffix_array_tpu.kernels.radix import BLOCK, radix_sort
+
+        n = BLOCK
+        keys = rng.integers(0, 1 << 16, n).astype(np.int32)
+        pay = np.arange(n, dtype=np.int32)
+        k2, p2 = radix_sort(jnp.asarray(keys), jnp.asarray(pay),
+                            key_bits=16, interpret=True)
+        order = np.argsort(keys, kind="stable")
+        assert np.array_equal(np.asarray(p2), order)
+        assert np.array_equal(np.asarray(k2), keys[order])
