@@ -60,3 +60,23 @@ class TestRadix:
         order = np.argsort(keys, kind="stable")
         assert np.array_equal(np.asarray(p2), order)
         assert np.array_equal(np.asarray(k2), keys[order])
+
+    def test_dma_pass(self, rng):
+        import jax.numpy as jnp
+        from hpc_suffix_array_tpu.kernels.radix_write import (
+            BLOCK, radix_pass_dma)
+
+        n = BLOCK * 4
+        for name, keys in [
+            ("uniform", rng.integers(0, 1 << 20, n)),
+            ("skewed", np.where(rng.random(n) < 0.95, 15 << 8,
+                                rng.integers(0, 1 << 20, n))),
+            ("constant", np.full(n, 7 << 8)),
+        ]:
+            keys = keys.astype(np.int32)
+            pay = np.arange(n, dtype=np.int32)
+            k, p = radix_pass_dma(jnp.asarray(keys), jnp.asarray(pay), 8,
+                                  True)
+            order = np.argsort((keys >> 8) & 15, kind="stable")
+            assert np.array_equal(np.asarray(k), keys[order]), name
+            assert np.array_equal(np.asarray(p), pay[order]), name
