@@ -49,6 +49,7 @@ def _permute_tile(dest, cols):
 
 def _block_sort_kernel(shift: int, keys_ref, pay_ref, out_k_ref, out_p_ref,
                        hist_ref, scratch_k, scratch_p):
+    b_id = pl.program_id(0)
     """Stable 4-bit-digit sort of one 32K block (see module docstring)."""
     keys = keys_ref[:].reshape(TILES, TILE)
     pays = pay_ref[:].reshape(TILES, TILE)
@@ -97,7 +98,9 @@ def _block_sort_kernel(shift: int, keys_ref, pay_ref, out_k_ref, out_p_ref,
             pltpu.store(out_k_ref.at[pl.ds(off, TILE)], seg_k, mask=mask)
             pltpu.store(out_p_ref.at[pl.ds(off, TILE)], seg_p, mask=mask)
             cursor = cursor + count
-    hist_ref[0, :] = block_hist
+    # hist rows are 128 wide for TPU tiling; only the first R are real.
+    hist_ref[b_id, :] = jnp.concatenate(
+        [block_hist, jnp.zeros((LANES - R,), jnp.int32)])
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -109,12 +112,12 @@ def block_digit_sort(keys: jnp.ndarray, payload: jnp.ndarray, shift: int,
     the outputs is digit-sorted; hist is the (NB, R) per-block counts.
     """
     nb = keys.shape[0] // BLOCK
-    return pl.pallas_call(
+    out_k, out_p, hist = pl.pallas_call(
         functools.partial(_block_sort_kernel, shift),
         out_shape=(
             jax.ShapeDtypeStruct((nb * BLOCK,), jnp.int32),
             jax.ShapeDtypeStruct((nb * BLOCK,), jnp.int32),
-            jax.ShapeDtypeStruct((nb, R), jnp.int32),
+            jax.ShapeDtypeStruct((nb, LANES), jnp.int32),
         ),
         grid=(nb,),
         in_specs=[
@@ -124,7 +127,9 @@ def block_digit_sort(keys: jnp.ndarray, payload: jnp.ndarray, shift: int,
         out_specs=(
             pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # whole-array spec: each step writes only its own row
+            pl.BlockSpec((nb, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((TILES, 2 * TILE), jnp.int32),
@@ -132,6 +137,7 @@ def block_digit_sort(keys: jnp.ndarray, payload: jnp.ndarray, shift: int,
         ],
         interpret=interpret,
     )(keys, payload)
+    return out_k, out_p, hist[:, :R]
 
 
 QUANT = TILE                 # DMA copy quantum for run placement
