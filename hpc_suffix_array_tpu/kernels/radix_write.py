@@ -1,17 +1,22 @@
 """Pallas radix write path: block digit sort + global run placement.
 
-Completes half of the radix-pass design of kernels/radix.py (TODO.md #1)
-with no dynamic-length DMA and no scatter:
+Completes the radix-pass design of kernels/radix.py (TODO.md #1) with no
+dynamic-length DMA and no scatter:
 
-  * each 1K tile is sorted by its 4-bit digit with a one-hot destination
-    + permutation-matrix matmul apply (exact through hi/lo 16-bit f32
-    splits: every output row has exactly one product term);
-  * the per-tile digit runs merge into block runs via fixed-length
-    MASKED stores at dynamic VMEM offsets (`pltpu.store` with a length
-    mask) — padding never lands, so blocks stay exactly (BLOCK,);
-  * emits the block-sorted records plus the (NB, R) histogram that the
-    global placement pass (kernel B, round 2: digit-major sequential
-    run copies with quantum padding) consumes.
+  * `block_digit_sort` (kernel A): each 1K tile is sorted by its 4-bit
+    digit with a one-hot destination + permutation-matrix matmul apply
+    (exact through hi/lo 16-bit f32 splits: every output row has exactly
+    one product term); per-tile digit runs merge into block runs via
+    fixed-length MASKED stores at dynamic VMEM offsets. All prefix sums
+    are explicit shift-add scans (`pltpu.roll` lane/sublane composition)
+    because Mosaic has no cumsum lowering.
+  * `place_runs` (kernel B): digit-major (R, NB) grid copies each
+    (block, digit) run from staging to its final global offset in
+    QUANT-sized DMA chunks; TPU grid steps execute sequentially, so each
+    chunk's tail padding lands where a later step rewrites it (outputs
+    carry one QUANT of tail padding).
+
+`radix_pass_dma` = A + XLA scan glue + B: one full stable LSD pass.
 """
 
 from __future__ import annotations
@@ -25,11 +30,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-TILE = 8 * LANES            # 1024 elements per permutation tile
+SUBL = 8
+TILE = SUBL * LANES         # 1024 elements per permutation tile
 TILES = 32                  # tiles per block
 BLOCK = TILE * TILES        # 32K elements per block
 RBITS = 4
 R = 1 << RBITS
+
+
+def _flat_shift_right(x, s: int, row_id, lane_id):
+    """Zero-fill shift of a (SUBL, LANES) tile by s in flat order."""
+    if s >= SUBL * LANES:
+        return jnp.zeros_like(x)
+    r, c = divmod(s, LANES)
+    y = x
+    if c:
+        a = pltpu.roll(y, shift=c, axis=1)
+        prev = pltpu.roll(y, shift=1, axis=0)        # row i <- row i-1
+        b = pltpu.roll(prev, shift=c, axis=1)
+        y = jnp.where(lane_id >= c, a, b)
+        y = jnp.where((row_id == 0) & (lane_id < c), 0, y)
+    if r:
+        y = pltpu.roll(y, shift=r, axis=0)
+        y = jnp.where(row_id < r, 0, y)
+    return y
+
+
+def _inclusive_scan_flat(m, row_id, lane_id, interpret: bool = False):
+    """Inclusive prefix sum over the flat order of a (SUBL, LANES) tile.
+
+    The compiled path is a log-step shift-add scan (Mosaic cannot lower
+    cumsum); interpret mode uses cumsum directly — the emulated per-op
+    cost of 10 shift-adds x 16 digits x 32 tiles made tests minutes
+    long. The two paths are equivalence-tested in tests/test_kernels.py.
+    """
+    if interpret:
+        return jnp.cumsum(m.reshape(-1)).reshape(m.shape)
+    p = m
+    s = 1
+    while s < SUBL * LANES:
+        p = p + _flat_shift_right(p, s, row_id, lane_id)
+        s *= 2
+    return p
 
 
 def _permute_tile(dest, cols):
@@ -47,47 +89,64 @@ def _permute_tile(dest, cols):
     return (out_hi.astype(jnp.int32) << 16) | out_lo.astype(jnp.int32)
 
 
-def _block_sort_kernel(shift: int, keys_ref, pay_ref, out_k_ref, out_p_ref,
-                       hist_ref, scratch_k, scratch_p):
-    b_id = pl.program_id(0)
+def _block_sort_kernel(shift: int, interpret: bool, keys_ref, pay_ref,
+                       out_k_ref, out_p_ref, hist_ref, scratch_k,
+                       scratch_p):
     """Stable 4-bit-digit sort of one 32K block (see module docstring)."""
-    keys = keys_ref[:].reshape(TILES, TILE)
-    pays = pay_ref[:].reshape(TILES, TILE)
-    digits = (keys >> shift) & (R - 1)                        # (T, TILE)
+    b_id = pl.program_id(0)
+    row_id = lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 0)
+    lane_id = lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 1)
 
-    oh = (digits[:, :, None] == lax.broadcasted_iota(
-        jnp.int32, (TILES, TILE, R), 2)).astype(jnp.int32)
-    tile_hist = jnp.sum(oh, axis=1)                           # (T, R)
-    pre = jnp.cumsum(oh, axis=1) - oh                         # excl in tile
-    tile_starts = jnp.cumsum(tile_hist, axis=1) - tile_hist   # (T, R)
-    dest_in_tile = jnp.sum(oh * (tile_starts[:, None, :] + pre), axis=2)
+    tile_hist_rows = []                 # per tile: list of R scalar counts
+    dests = []                          # per tile: (TILE,) stable dest
+    for t in range(TILES):
+        keys_t = keys_ref[pl.ds(t * TILE, TILE)].reshape(SUBL, LANES)
+        dig = (keys_t >> shift) & (R - 1)
+        counts = []
+        dest = jnp.zeros((SUBL, LANES), jnp.int32)
+        start = jnp.int32(0)
+        for d in range(R):
+            m = (dig == d).astype(jnp.int32)
+            pre = _inclusive_scan_flat(m, row_id, lane_id, interpret) - m
+            cnt = jnp.sum(m)
+            dest = jnp.where(m == 1, start + pre, dest)
+            counts.append(cnt)
+            start = start + cnt
+        tile_hist_rows.append(counts)
+        dests.append(dest.reshape(TILE))
 
     # Stage 1: tile-sort via MXU permutation, into scratch.
     for t in range(TILES):
-        cols = jnp.stack([keys[t], pays[t]], axis=1)          # (TILE, 2)
-        sorted_cols = _permute_tile(dest_in_tile[t], cols)
+        keys_t = keys_ref[pl.ds(t * TILE, TILE)]
+        pays_t = pay_ref[pl.ds(t * TILE, TILE)]
+        cols = jnp.stack([keys_t, pays_t], axis=1)            # (TILE, 2)
+        sorted_cols = _permute_tile(dests[t], cols)
         scratch_k[t, :TILE] = sorted_cols[:, 0]
         scratch_p[t, :TILE] = sorted_cols[:, 1]
 
     # Stage 2: merge tile runs into block runs with masked fixed-length
     # stores at dynamic offsets (only `count` lanes actually land).
-    block_hist = jnp.sum(tile_hist, axis=0)                   # (R,)
-    block_starts = jnp.cumsum(block_hist) - block_hist        # (R,)
     seg_iota = lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)[:, 0]
     zeros = jnp.zeros((TILE,), jnp.int32)
+    cursor = jnp.int32(0)
+    tile_digit_start = [[None] * R for _ in range(TILES)]
+    for t in range(TILES):
+        acc = jnp.int32(0)
+        for d in range(R):
+            tile_digit_start[t][d] = acc
+            acc = acc + tile_hist_rows[t][d]
     for d in range(R):
-        cursor = block_starts[d]
         for t in range(TILES):
-            src = tile_starts[t, d]
-            count = tile_hist[t, d]
+            src = tile_digit_start[t][d]
+            count = tile_hist_rows[t][d]
             # scratch rows are 2*TILE wide so this never clamps
             # (dynamic_slice clamps start to size - slice_size).
             seg_k = lax.dynamic_slice(scratch_k[t, :], (src,), (TILE,))
             seg_p = lax.dynamic_slice(scratch_p[t, :], (src,), (TILE,))
             # Keep the store window inside the block ref: clamp the
-            # window start and shift the segment to compensate (the
-            # hardware would silently clamp pl.ds and corrupt offsets;
-            # cursor + count <= BLOCK guarantees sh + count <= TILE).
+            # window start and shift the segment to compensate (hardware
+            # pl.ds clamping would silently corrupt offsets; cursor +
+            # count <= BLOCK guarantees sh + count <= TILE).
             off = jnp.minimum(cursor, BLOCK - TILE)
             sh = cursor - off
             seg_k = lax.dynamic_slice(
@@ -99,8 +158,14 @@ def _block_sort_kernel(shift: int, keys_ref, pay_ref, out_k_ref, out_p_ref,
             pltpu.store(out_p_ref.at[pl.ds(off, TILE)], seg_p, mask=mask)
             cursor = cursor + count
     # hist rows are 128 wide for TPU tiling; only the first R are real.
-    hist_ref[b_id, :] = jnp.concatenate(
-        [block_hist, jnp.zeros((LANES - R,), jnp.int32)])
+    lane = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    row = jnp.zeros((1, LANES), jnp.int32)
+    for d in range(R):
+        total_d = functools.reduce(
+            lambda a, b: a + b,
+            [tile_hist_rows[t][d] for t in range(TILES)])
+        row = jnp.where(lane == d, total_d, row)
+    hist_ref[pl.ds(b_id, 1), :] = row
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -113,7 +178,7 @@ def block_digit_sort(keys: jnp.ndarray, payload: jnp.ndarray, shift: int,
     """
     nb = keys.shape[0] // BLOCK
     out_k, out_p, hist = pl.pallas_call(
-        functools.partial(_block_sort_kernel, shift),
+        functools.partial(_block_sort_kernel, shift, interpret),
         out_shape=(
             jax.ShapeDtypeStruct((nb * BLOCK,), jnp.int32),
             jax.ShapeDtypeStruct((nb * BLOCK,), jnp.int32),

