@@ -91,7 +91,7 @@ def _permute_tile(dest, cols):
 
 def _block_sort_kernel(shift: int, interpret: bool, keys_ref, pay_ref,
                        out_k_ref, out_p_ref, hist_ref, scratch_k,
-                       scratch_p):
+                       scratch_p, stage_k, stage_p):
     """Stable 4-bit-digit sort of one 32K block (see module docstring)."""
     b_id = pl.program_id(0)
     row_id = lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 0)
@@ -125,9 +125,11 @@ def _block_sort_kernel(shift: int, interpret: bool, keys_ref, pay_ref,
         scratch_p[t, :TILE] = sorted_cols[:, 1]
 
     # Stage 2: merge tile runs into block runs with masked fixed-length
-    # stores at dynamic offsets (only `count` lanes actually land).
+    # stores at dynamic offsets (only `count` lanes actually land). The
+    # stores target a (BLOCK + TILE) staging buffer so the window at the
+    # final cursor never leaves the ref (hardware pl.ds clamping would
+    # silently shift offsets); the dense prefix is copied out once.
     seg_iota = lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)[:, 0]
-    zeros = jnp.zeros((TILE,), jnp.int32)
     cursor = jnp.int32(0)
     tile_digit_start = [[None] * R for _ in range(TILES)]
     for t in range(TILES):
@@ -139,24 +141,16 @@ def _block_sort_kernel(shift: int, interpret: bool, keys_ref, pay_ref,
         for t in range(TILES):
             src = tile_digit_start[t][d]
             count = tile_hist_rows[t][d]
-            # scratch rows are 2*TILE wide so this never clamps
-            # (dynamic_slice clamps start to size - slice_size).
-            seg_k = lax.dynamic_slice(scratch_k[t, :], (src,), (TILE,))
-            seg_p = lax.dynamic_slice(scratch_p[t, :], (src,), (TILE,))
-            # Keep the store window inside the block ref: clamp the
-            # window start and shift the segment to compensate (hardware
-            # pl.ds clamping would silently corrupt offsets; cursor +
-            # count <= BLOCK guarantees sh + count <= TILE).
-            off = jnp.minimum(cursor, BLOCK - TILE)
-            sh = cursor - off
-            seg_k = lax.dynamic_slice(
-                jnp.concatenate([zeros, seg_k]), (TILE - sh,), (TILE,))
-            seg_p = lax.dynamic_slice(
-                jnp.concatenate([zeros, seg_p]), (TILE - sh,), (TILE,))
-            mask = (seg_iota >= sh) & (seg_iota < sh + count)
-            pltpu.store(out_k_ref.at[pl.ds(off, TILE)], seg_k, mask=mask)
-            pltpu.store(out_p_ref.at[pl.ds(off, TILE)], seg_p, mask=mask)
+            # ref-level dynamic slices (scratch rows are 2*TILE wide so
+            # the read window never clamps)
+            seg_k = scratch_k[t, pl.ds(src, TILE)]
+            seg_p = scratch_p[t, pl.ds(src, TILE)]
+            mask = seg_iota < count
+            pltpu.store(stage_k.at[pl.ds(cursor, TILE)], seg_k, mask=mask)
+            pltpu.store(stage_p.at[pl.ds(cursor, TILE)], seg_p, mask=mask)
             cursor = cursor + count
+    out_k_ref[:] = stage_k[:BLOCK]
+    out_p_ref[:] = stage_p[:BLOCK]
     # hist rows are 128 wide for TPU tiling; only the first R are real.
     lane = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     row = jnp.zeros((1, LANES), jnp.int32)
@@ -199,6 +193,8 @@ def block_digit_sort(keys: jnp.ndarray, payload: jnp.ndarray, shift: int,
         scratch_shapes=[
             pltpu.VMEM((TILES, 2 * TILE), jnp.int32),
             pltpu.VMEM((TILES, 2 * TILE), jnp.int32),
+            pltpu.VMEM((BLOCK + TILE,), jnp.int32),
+            pltpu.VMEM((BLOCK + TILE,), jnp.int32),
         ],
         interpret=interpret,
     )(keys, payload)
