@@ -143,8 +143,9 @@ def _block_sort_kernel(shift: int, interpret: bool, keys_ref, pay_ref,
             count = tile_hist_rows[t][d]
             # ref-level dynamic slices (scratch rows are 2*TILE wide so
             # the read window never clamps)
-            seg_k = scratch_k[t, pl.ds(src, TILE)]
-            seg_p = scratch_p[t, pl.ds(src, TILE)]
+            # two-step ref indexing: Mosaic rejects mixed int+ds loads
+            seg_k = scratch_k.at[t][pl.ds(src, TILE)]
+            seg_p = scratch_p.at[t][pl.ds(src, TILE)]
             mask = seg_iota < count
             pltpu.store(stage_k.at[pl.ds(cursor, TILE)], seg_k, mask=mask)
             pltpu.store(stage_p.at[pl.ds(cursor, TILE)], seg_p, mask=mask)
