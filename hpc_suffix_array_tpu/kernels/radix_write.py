@@ -121,8 +121,8 @@ def _block_sort_kernel(shift: int, interpret: bool, keys_ref, pay_ref,
         pays_t = pay_ref[pl.ds(t * TILE, TILE)]
         cols = jnp.stack([keys_t, pays_t], axis=1)            # (TILE, 2)
         sorted_cols = _permute_tile(dests[t], cols)
-        scratch_k[t, :TILE] = sorted_cols[:, 0]
-        scratch_p[t, :TILE] = sorted_cols[:, 1]
+        scratch_k[pl.ds(t * 2 * TILE, TILE)] = sorted_cols[:, 0]
+        scratch_p[pl.ds(t * 2 * TILE, TILE)] = sorted_cols[:, 1]
 
     # Stage 2: merge tile runs into block runs with masked fixed-length
     # stores at dynamic offsets (only `count` lanes actually land). The
@@ -141,11 +141,11 @@ def _block_sort_kernel(shift: int, interpret: bool, keys_ref, pay_ref,
         for t in range(TILES):
             src = tile_digit_start[t][d]
             count = tile_hist_rows[t][d]
-            # ref-level dynamic slices (scratch rows are 2*TILE wide so
-            # the read window never clamps)
-            # two-step ref indexing: Mosaic rejects mixed int+ds loads
-            seg_k = scratch_k.at[t][pl.ds(src, TILE)]
-            seg_p = scratch_p.at[t][pl.ds(src, TILE)]
+            # single-level dynamic ds on flat 1D scratch (scratch rows
+            # are 2*TILE apart so the read window never clamps; Mosaic
+            # rejects mixed int+ds and nested ref transforms)
+            seg_k = scratch_k[pl.ds(t * 2 * TILE + src, TILE)]
+            seg_p = scratch_p[pl.ds(t * 2 * TILE + src, TILE)]
             mask = seg_iota < count
             pltpu.store(stage_k.at[pl.ds(cursor, TILE)], seg_k, mask=mask)
             pltpu.store(stage_p.at[pl.ds(cursor, TILE)], seg_p, mask=mask)
@@ -192,8 +192,8 @@ def block_digit_sort(keys: jnp.ndarray, payload: jnp.ndarray, shift: int,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILES, 2 * TILE), jnp.int32),
-            pltpu.VMEM((TILES, 2 * TILE), jnp.int32),
+            pltpu.VMEM((TILES * 2 * TILE,), jnp.int32),
+            pltpu.VMEM((TILES * 2 * TILE,), jnp.int32),
             pltpu.VMEM((BLOCK + TILE,), jnp.int32),
             pltpu.VMEM((BLOCK + TILE,), jnp.int32),
         ],
