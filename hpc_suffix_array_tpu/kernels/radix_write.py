@@ -74,6 +74,19 @@ def _inclusive_scan_flat(m, row_id, lane_id, interpret: bool = False):
     return p
 
 
+def _flat_roll_right(x, r):
+    """Circular right-roll of a (rows, LANES) tile by traced r in flat
+    order (wrapped entries are junk the callers mask out). Mosaic
+    supports dynamic lane/sublane rolls (probed on v5e)."""
+    c = r % LANES
+    w = r // LANES
+    lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    a = pltpu.roll(x, shift=c, axis=1)
+    b = pltpu.roll(pltpu.roll(x, shift=1, axis=0), shift=c, axis=1)
+    y = jnp.where(lane >= c, a, b)
+    return pltpu.roll(y, shift=w, axis=0)
+
+
 def _permute_tile(dest, cols):
     """out[dest[j], c] = cols[j, c] for a (TILE,) permutation, via MXU.
 
@@ -124,12 +137,12 @@ def _block_sort_kernel(shift: int, interpret: bool, keys_ref, pay_ref,
         scratch_k[pl.ds(t * 2 * TILE, TILE)] = sorted_cols[:, 0]
         scratch_p[pl.ds(t * 2 * TILE, TILE)] = sorted_cols[:, 1]
 
-    # Stage 2: merge tile runs into block runs with masked fixed-length
-    # stores at dynamic offsets (only `count` lanes actually land). The
-    # stores target a (BLOCK + TILE) staging buffer so the window at the
-    # final cursor never leaves the ref (hardware pl.ds clamping would
-    # silently shift offsets); the dense prefix is copied out once.
-    seg_iota = lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)[:, 0]
+    # Stage 2: merge tile runs into block runs. Mosaic only allows
+    # dynamic vector loads/stores at TILE-aligned offsets, so both sides
+    # go through aligned 2-tile windows: read the tile-sorted segment
+    # with an aligned load + dynamic flat roll left; write it into the
+    # staging buffer with an aligned read-modify-write (load window,
+    # roll segment into place, blend by position mask, store back).
     cursor = jnp.int32(0)
     tile_digit_start = [[None] * R for _ in range(TILES)]
     for t in range(TILES):
@@ -137,18 +150,34 @@ def _block_sort_kernel(shift: int, interpret: bool, keys_ref, pay_ref,
         for d in range(R):
             tile_digit_start[t][d] = acc
             acc = acc + tile_hist_rows[t][d]
+    g2 = lax.broadcasted_iota(jnp.int32, (2 * SUBL, LANES), 0) * LANES \
+        + lax.broadcasted_iota(jnp.int32, (2 * SUBL, LANES), 1)
     for d in range(R):
         for t in range(TILES):
-            src = tile_digit_start[t][d]
+            src = tile_digit_start[t][d]          # in [0, TILE]
             count = tile_hist_rows[t][d]
-            # single-level dynamic ds on flat 1D scratch (scratch rows
-            # are 2*TILE apart so the read window never clamps; Mosaic
-            # rejects mixed int+ds and nested ref transforms)
-            seg_k = scratch_k[pl.ds(t * 2 * TILE + src, TILE)]
-            seg_p = scratch_p[pl.ds(t * 2 * TILE + src, TILE)]
-            mask = seg_iota < count
-            pltpu.store(stage_k.at[pl.ds(cursor, TILE)], seg_k, mask=mask)
-            pltpu.store(stage_p.at[pl.ds(cursor, TILE)], seg_p, mask=mask)
+            # aligned read: scratch rows are 2*TILE apart; the segment
+            # [src, src+count) sits inside the statically aligned 2-tile
+            # row window, rolled down to position 0.
+            win_k = scratch_k[pl.ds(t * 2 * TILE, 2 * TILE)].reshape(
+                2 * SUBL, LANES)
+            win_p = scratch_p[pl.ds(t * 2 * TILE, 2 * TILE)].reshape(
+                2 * SUBL, LANES)
+            seg_k = _flat_roll_right(win_k, 2 * TILE - src)
+            seg_p = _flat_roll_right(win_p, 2 * TILE - src)
+            # aligned RMW write at the staging cursor
+            base = (cursor // TILE) * TILE
+            base = pl.multiple_of(base, TILE)
+            r = cursor - base
+            old_k = stage_k[pl.ds(base, 2 * TILE)].reshape(2 * SUBL, LANES)
+            old_p = stage_p[pl.ds(base, 2 * TILE)].reshape(2 * SUBL, LANES)
+            put_k = _flat_roll_right(seg_k, r)
+            put_p = _flat_roll_right(seg_p, r)
+            sel = (g2 >= r) & (g2 < r + count)
+            stage_k[pl.ds(base, 2 * TILE)] = jnp.where(
+                sel, put_k, old_k).reshape(-1)
+            stage_p[pl.ds(base, 2 * TILE)] = jnp.where(
+                sel, put_p, old_p).reshape(-1)
             cursor = cursor + count
     out_k_ref[:] = stage_k[:BLOCK]
     out_p_ref[:] = stage_p[:BLOCK]
@@ -194,8 +223,8 @@ def block_digit_sort(keys: jnp.ndarray, payload: jnp.ndarray, shift: int,
         scratch_shapes=[
             pltpu.VMEM((TILES * 2 * TILE,), jnp.int32),
             pltpu.VMEM((TILES * 2 * TILE,), jnp.int32),
-            pltpu.VMEM((BLOCK + TILE,), jnp.int32),
-            pltpu.VMEM((BLOCK + TILE,), jnp.int32),
+            pltpu.VMEM((BLOCK + 2 * TILE,), jnp.int32),
+            pltpu.VMEM((BLOCK + 2 * TILE,), jnp.int32),
         ],
         interpret=interpret,
     )(keys, payload)
