@@ -104,91 +104,92 @@ def _permute_tile(dest, cols):
 
 def _block_sort_kernel(shift: int, interpret: bool, keys_ref, pay_ref,
                        out_k_ref, out_p_ref, hist_ref, scratch_k,
-                       scratch_p, stage_k, stage_p):
-    """Stable 4-bit-digit sort of one 32K block (see module docstring)."""
+                       scratch_p, stage_k, stage_p, smem_hist):
+    """Stable 4-bit-digit sort of one 32K block (see module docstring).
+
+    Control flow is fori_loop-heavy with SMEM scalar tables: a fully
+    unrolled (digit x tile) graph OOM-killed the Mosaic compiler.
+    """
     b_id = pl.program_id(0)
     row_id = lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 0)
     lane_id = lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 1)
 
-    tile_hist_rows = []                 # per tile: list of R scalar counts
-    dests = []                          # per tile: (TILE,) stable dest
+    # Per tile: dest (stable within-tile sort by digit) + SMEM hist row.
     for t in range(TILES):
         keys_t = keys_ref[pl.ds(t * TILE, TILE)].reshape(SUBL, LANES)
         dig = (keys_t >> shift) & (R - 1)
-        counts = []
-        dest = jnp.zeros((SUBL, LANES), jnp.int32)
-        start = jnp.int32(0)
-        for d in range(R):
+
+        def digit_body(d, carry):
+            start, dest = carry
             m = (dig == d).astype(jnp.int32)
             pre = _inclusive_scan_flat(m, row_id, lane_id, interpret) - m
             cnt = jnp.sum(m)
             dest = jnp.where(m == 1, start + pre, dest)
-            counts.append(cnt)
-            start = start + cnt
-        tile_hist_rows.append(counts)
-        dests.append(dest.reshape(TILE))
+            smem_hist[t * R + d] = cnt
+            return start + cnt, dest
 
-    # Stage 1: tile-sort via MXU permutation, into scratch.
-    for t in range(TILES):
-        keys_t = keys_ref[pl.ds(t * TILE, TILE)]
+        _, dest = lax.fori_loop(
+            0, R, digit_body,
+            (jnp.int32(0), jnp.zeros((SUBL, LANES), jnp.int32)))
+
         pays_t = pay_ref[pl.ds(t * TILE, TILE)]
-        cols = jnp.stack([keys_t, pays_t], axis=1)            # (TILE, 2)
-        sorted_cols = _permute_tile(dests[t], cols)
+        cols = jnp.stack([keys_ref[pl.ds(t * TILE, TILE)], pays_t], axis=1)
+        sorted_cols = _permute_tile(dest.reshape(TILE), cols)
         scratch_k[pl.ds(t * 2 * TILE, TILE)] = sorted_cols[:, 0]
         scratch_p[pl.ds(t * 2 * TILE, TILE)] = sorted_cols[:, 1]
 
-    # Stage 2: merge tile runs into block runs. Mosaic only allows
-    # dynamic vector loads/stores at TILE-aligned offsets, so both sides
-    # go through aligned 2-tile windows: read the tile-sorted segment
-    # with an aligned load + dynamic flat roll left; write it into the
-    # staging buffer with an aligned read-modify-write (load window,
-    # roll segment into place, blend by position mask, store back).
-    cursor = jnp.int32(0)
-    tile_digit_start = [[None] * R for _ in range(TILES)]
-    for t in range(TILES):
-        acc = jnp.int32(0)
-        for d in range(R):
-            tile_digit_start[t][d] = acc
-            acc = acc + tile_hist_rows[t][d]
+    # Merge tile runs into block runs. Mosaic only allows dynamic vector
+    # loads/stores at TILE-aligned offsets, so both sides go through
+    # aligned 2-tile windows: read the tile-sorted segment with an
+    # aligned load + dynamic flat roll; write with an aligned
+    # read-modify-write (load window, roll into place, blend by mask).
     g2 = lax.broadcasted_iota(jnp.int32, (2 * SUBL, LANES), 0) * LANES \
         + lax.broadcasted_iota(jnp.int32, (2 * SUBL, LANES), 1)
-    for d in range(R):
-        for t in range(TILES):
-            src = tile_digit_start[t][d]          # in [0, TILE]
-            count = tile_hist_rows[t][d]
-            # aligned read: scratch rows are 2*TILE apart; the segment
-            # [src, src+count) sits inside the statically aligned 2-tile
-            # row window, rolled down to position 0.
-            win_k = scratch_k[pl.ds(t * 2 * TILE, 2 * TILE)].reshape(
-                2 * SUBL, LANES)
-            win_p = scratch_p[pl.ds(t * 2 * TILE, 2 * TILE)].reshape(
-                2 * SUBL, LANES)
-            seg_k = _flat_roll_right(win_k, 2 * TILE - src)
-            seg_p = _flat_roll_right(win_p, 2 * TILE - src)
-            # aligned RMW write at the staging cursor
-            base = (cursor // TILE) * TILE
-            base = pl.multiple_of(base, TILE)
-            r = cursor - base
-            old_k = stage_k[pl.ds(base, 2 * TILE)].reshape(2 * SUBL, LANES)
-            old_p = stage_p[pl.ds(base, 2 * TILE)].reshape(2 * SUBL, LANES)
-            put_k = _flat_roll_right(seg_k, r)
-            put_p = _flat_roll_right(seg_p, r)
-            sel = (g2 >= r) & (g2 < r + count)
-            stage_k[pl.ds(base, 2 * TILE)] = jnp.where(
-                sel, put_k, old_k).reshape(-1)
-            stage_p[pl.ds(base, 2 * TILE)] = jnp.where(
-                sel, put_p, old_p).reshape(-1)
-            cursor = cursor + count
+
+    def merge_body(i, cursor):
+        d = i // TILES
+        t = i % TILES
+
+        def src_body(dd, acc):
+            return acc + smem_hist[t * R + dd]
+
+        src = lax.fori_loop(0, d, src_body, jnp.int32(0))
+        count = smem_hist[t * R + d]
+        win_k = scratch_k[pl.ds(t * 2 * TILE, 2 * TILE)].reshape(
+            2 * SUBL, LANES)
+        win_p = scratch_p[pl.ds(t * 2 * TILE, 2 * TILE)].reshape(
+            2 * SUBL, LANES)
+        seg_k = _flat_roll_right(win_k, 2 * TILE - src)
+        seg_p = _flat_roll_right(win_p, 2 * TILE - src)
+        base = (cursor // TILE) * TILE
+        base = pl.multiple_of(base, TILE)
+        r = cursor - base
+        old_k = stage_k[pl.ds(base, 2 * TILE)].reshape(2 * SUBL, LANES)
+        old_p = stage_p[pl.ds(base, 2 * TILE)].reshape(2 * SUBL, LANES)
+        put_k = _flat_roll_right(seg_k, r)
+        put_p = _flat_roll_right(seg_p, r)
+        sel = (g2 >= r) & (g2 < r + count)
+        stage_k[pl.ds(base, 2 * TILE)] = jnp.where(
+            sel, put_k, old_k).reshape(-1)
+        stage_p[pl.ds(base, 2 * TILE)] = jnp.where(
+            sel, put_p, old_p).reshape(-1)
+        return cursor + count
+
+    # i = d * TILES + t iterates digit-major (digit 0's tiles first).
+    lax.fori_loop(0, R * TILES, merge_body, jnp.int32(0))
     out_k_ref[:] = stage_k[:BLOCK]
     out_p_ref[:] = stage_p[:BLOCK]
+
     # hist rows are 128 wide for TPU tiling; only the first R are real.
     lane = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    row = jnp.zeros((1, LANES), jnp.int32)
-    for d in range(R):
-        total_d = functools.reduce(
-            lambda a, b: a + b,
-            [tile_hist_rows[t][d] for t in range(TILES)])
-        row = jnp.where(lane == d, total_d, row)
+
+    def hist_body(d, row):
+        def tsum(t, acc):
+            return acc + smem_hist[t * R + d]
+        total_d = lax.fori_loop(0, TILES, tsum, jnp.int32(0))
+        return jnp.where(lane == d, total_d, row)
+
+    row = lax.fori_loop(0, R, hist_body, jnp.zeros((1, LANES), jnp.int32))
     hist_ref[pl.ds(b_id, 1), :] = row
 
 
@@ -225,6 +226,7 @@ def block_digit_sort(keys: jnp.ndarray, payload: jnp.ndarray, shift: int,
             pltpu.VMEM((TILES * 2 * TILE,), jnp.int32),
             pltpu.VMEM((BLOCK + 2 * TILE,), jnp.int32),
             pltpu.VMEM((BLOCK + 2 * TILE,), jnp.int32),
+            pltpu.SMEM((TILES * R,), jnp.int32),
         ],
         interpret=interpret,
     )(keys, payload)
