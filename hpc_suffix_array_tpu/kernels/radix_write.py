@@ -238,13 +238,15 @@ QUANT = TILE                 # DMA copy quantum for run placement
 
 def _place_kernel(src_starts_ref, dst_starts_ref, lens_ref,
                   k_ref, p_ref, out_k_ref, out_p_ref,
-                  vk, vp, sem_k, sem_p):
+                  vk_src, vp_src, vk_dst, vp_dst, sem_a, sem_b):
     """Copy one (digit, block) run staging->output in QUANT chunks.
 
-    Grid is (R, NB) digit-major and TPU grid steps run sequentially, so
-    each chunk's tail padding (up to QUANT-1 elements of the next run's
-    data, re-read from staging) lands where a later step rewrites it;
-    the output carries one QUANT of tail padding for the final run.
+    HBM memrefs are 1024-tiled, so every DMA offset must be provably
+    tile-aligned: each chunk is moved as an aligned read-modify-write —
+    aligned 2-tile reads of source and destination windows, a circular
+    flat roll to line the source up with its destination phase, a masked
+    blend, and an aligned 2-tile write back. The TPU grid is sequential,
+    so overlapping windows of consecutive runs stay consistent.
     """
     d = pl.program_id(0)
     b = pl.program_id(1)
@@ -253,19 +255,44 @@ def _place_kernel(src_starts_ref, dst_starts_ref, lens_ref,
     dst0 = dst_starts_ref[i]
     length = lens_ref[i]
     chunks = (length + QUANT - 1) // QUANT
+    g2 = lax.broadcasted_iota(jnp.int32, (2 * SUBL, LANES), 0) * LANES \
+        + lax.broadcasted_iota(jnp.int32, (2 * SUBL, LANES), 1)
 
     def body(c, _):
         off = c * QUANT
-        cp_k = pltpu.make_async_copy(
-            k_ref.at[pl.ds(src0 + off, QUANT)], vk, sem_k)
-        cp_p = pltpu.make_async_copy(
-            p_ref.at[pl.ds(src0 + off, QUANT)], vp, sem_p)
-        cp_k.start(); cp_p.start(); cp_k.wait(); cp_p.wait()
-        wk = pltpu.make_async_copy(
-            vk, out_k_ref.at[pl.ds(dst0 + off, QUANT)], sem_k)
-        wp = pltpu.make_async_copy(
-            vp, out_p_ref.at[pl.ds(dst0 + off, QUANT)], sem_p)
-        wk.start(); wp.start(); wk.wait(); wp.wait()
+        len_c = jnp.minimum(QUANT, length - off)
+        rs = pl.multiple_of(((src0 + off) // QUANT) * QUANT, QUANT)
+        wb = pl.multiple_of(((dst0 + off) // QUANT) * QUANT, QUANT)
+        src_r = src0 + off - rs
+        dst_r = dst0 + off - wb
+
+        rd_k = pltpu.make_async_copy(
+            k_ref.at[pl.ds(rs, 2 * QUANT)], vk_src, sem_a)
+        rd_p = pltpu.make_async_copy(
+            p_ref.at[pl.ds(rs, 2 * QUANT)], vp_src, sem_b)
+        rd_k.start(); rd_p.start(); rd_k.wait(); rd_p.wait()
+        rd_ok = pltpu.make_async_copy(
+            out_k_ref.at[pl.ds(wb, 2 * QUANT)], vk_dst, sem_a)
+        rd_op = pltpu.make_async_copy(
+            out_p_ref.at[pl.ds(wb, 2 * QUANT)], vp_dst, sem_b)
+        rd_ok.start(); rd_op.start(); rd_ok.wait(); rd_op.wait()
+
+        delta = (dst_r - src_r) % (2 * QUANT)
+        sk = _flat_roll_right(
+            vk_src[:].reshape(2 * SUBL, LANES), delta)
+        sp = _flat_roll_right(
+            vp_src[:].reshape(2 * SUBL, LANES), delta)
+        sel = (g2 >= dst_r) & (g2 < dst_r + len_c)
+        vk_dst[:] = jnp.where(
+            sel, sk, vk_dst[:].reshape(2 * SUBL, LANES)).reshape(-1)
+        vp_dst[:] = jnp.where(
+            sel, sp, vp_dst[:].reshape(2 * SUBL, LANES)).reshape(-1)
+
+        wr_k = pltpu.make_async_copy(
+            vk_dst, out_k_ref.at[pl.ds(wb, 2 * QUANT)], sem_a)
+        wr_p = pltpu.make_async_copy(
+            vp_dst, out_p_ref.at[pl.ds(wb, 2 * QUANT)], sem_b)
+        wr_k.start(); wr_p.start(); wr_k.wait(); wr_p.wait()
         return 0
 
     lax.fori_loop(0, chunks, body, 0)
@@ -280,7 +307,7 @@ def place_runs(sorted_k, sorted_p, src_starts, dst_starts, lens,
     carry QUANT tail padding; the returned arrays carry QUANT tail
     padding to absorb the final spill.
     """
-    n = sorted_k.shape[0] - QUANT          # staging includes QUANT pad
+    n = sorted_k.shape[0] - 2 * QUANT      # staging includes 2*QUANT pad
     rnb = src_starts.shape[0]
     nb = rnb // R
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -295,8 +322,10 @@ def place_runs(sorted_k, sorted_p, src_starts, dst_starts, lens,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((QUANT,), jnp.int32),
-            pltpu.VMEM((QUANT,), jnp.int32),
+            pltpu.VMEM((2 * QUANT,), jnp.int32),
+            pltpu.VMEM((2 * QUANT,), jnp.int32),
+            pltpu.VMEM((2 * QUANT,), jnp.int32),
+            pltpu.VMEM((2 * QUANT,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -304,8 +333,8 @@ def place_runs(sorted_k, sorted_p, src_starts, dst_starts, lens,
     return pl.pallas_call(
         _place_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n + QUANT,), jnp.int32),
-            jax.ShapeDtypeStruct((n + QUANT,), jnp.int32),
+            jax.ShapeDtypeStruct((n + 2 * QUANT,), jnp.int32),
+            jax.ShapeDtypeStruct((n + 2 * QUANT,), jnp.int32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -333,7 +362,7 @@ def radix_pass_dma(keys, payload, shift: int, interpret: bool = False):
            + block_within).T.reshape(-1)
     lens = hist.T.reshape(-1)
 
-    bk = jnp.concatenate([bk, jnp.zeros((QUANT,), jnp.int32)])
-    bp = jnp.concatenate([bp, jnp.zeros((QUANT,), jnp.int32)])
+    bk = jnp.concatenate([bk, jnp.zeros((2 * QUANT,), jnp.int32)])
+    bp = jnp.concatenate([bp, jnp.zeros((2 * QUANT,), jnp.int32)])
     ok, op = place_runs(bk, bp, src, dst, lens, interpret)
     return ok[:n], op[:n]
