@@ -139,6 +139,45 @@ def main() -> None:
     base_bps = measure_c_baseline(nb)
     vs = (bps / base_bps) if base_bps else 0.0
 
+    # Secondary corpus classes on stderr (the driver consumes exactly one
+    # stdout line). DNA stresses round count; periodic text is the
+    # worst case (round count scales with log(period)).
+    if os.environ.get("SA_BENCH_SECONDARY", "1") != "0":
+        try:
+            import jax.numpy as jnp
+
+            from hpc_suffix_array_tpu.core.suffix_array import (
+                alphabet_remap, bucket_size, suffix_array_from_bytes_kernel)
+
+            rng = np.random.default_rng(0xD0)
+            nsec = min(n, 1 << 24)
+            for tag, arr in (
+                ("dna", np.frombuffer(b"ACGT", np.uint8)[
+                    rng.integers(0, 4, nsec)]),
+                ("repetitive_p1000", np.tile(
+                    _bench_text(1000), nsec // 1000 + 1)[:nsec]),
+            ):
+                n_pad = bucket_size(nsec)
+                host = np.zeros(n_pad, np.uint8)
+                host[:nsec] = arr
+                remap2, bits2, h02 = alphabet_remap(arr)
+                a = (jnp.asarray(host), jnp.asarray(remap2), bits2, h02,
+                     jnp.int32(nsec))
+                sa, _r, _rounds = suffix_array_from_bytes_kernel(*a)
+                jax.device_get(sa[-1])
+                t0 = time.perf_counter()
+                sa, _r, rounds = suffix_array_from_bytes_kernel(*a)
+                jax.device_get(sa[-1])
+                dt = time.perf_counter() - t0
+                print(json.dumps({
+                    "metric": f"sa_build_{tag}",
+                    "value": round(nsec / dt / 1e6, 3),
+                    "unit": "MB/s/chip",
+                    "rounds": int(jax.device_get(rounds)),
+                }), file=sys.stderr)
+        except Exception as e:
+            print(f"# secondary metrics skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "suffix_array_build_throughput",
         "value": round(bps / 1e6, 3),
