@@ -14,10 +14,11 @@ def test_bench_json_line():
                JAX_PLATFORMS="cpu",
                SA_BENCH_BYTES=str(1 << 16),
                SA_BENCH_BASELINE_BYTES=str(1 << 16),
-               SA_BENCH_REPS="1")
+               SA_BENCH_REPS="1",
+               SA_BENCH_SECONDARY="0")
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")], capture_output=True,
-        text=True, timeout=600, env=env, cwd=REPO)
+        text=True, timeout=900, env=env, cwd=REPO)
     assert out.returncode == 0, out.stderr[-500:]
     lines = [l for l in out.stdout.splitlines() if l.strip().startswith("{")]
     assert len(lines) == 1, out.stdout
