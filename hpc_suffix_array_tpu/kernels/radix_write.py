@@ -91,15 +91,20 @@ def _permute_tile(dest, cols):
     """out[dest[j], c] = cols[j, c] for a (TILE,) permutation, via MXU.
 
     Exact for int32 in [0, 2^31): the one-hot indicator gives each output
-    row exactly one product, and each 16-bit half fits f32 exactly.
+    row exactly one product term, and the values are split into 8-bit
+    parts so every operand is exactly representable even at the MXU's
+    default bf16 multiply precision (16-bit halves were silently rounded
+    on v5e, which corrupted within-digit order on hardware while
+    interpret mode - real f32 - passed).
     """
     oh = (dest[None, :] == lax.broadcasted_iota(
         jnp.int32, (TILE, TILE), 0)).astype(jnp.float32)      # (out, in)
-    lo = (cols & 0xFFFF).astype(jnp.float32)
-    hi = (cols >> 16).astype(jnp.float32)
-    out_lo = jnp.dot(oh, lo, preferred_element_type=jnp.float32)
-    out_hi = jnp.dot(oh, hi, preferred_element_type=jnp.float32)
-    return (out_hi.astype(jnp.int32) << 16) | out_lo.astype(jnp.int32)
+    out = jnp.zeros(cols.shape, jnp.int32)
+    for shift in (0, 8, 16, 24):
+        part = ((cols >> shift) & 0xFF).astype(jnp.float32)
+        moved = jnp.dot(oh, part, preferred_element_type=jnp.float32)
+        out = out | (moved.astype(jnp.int32) << shift)
+    return out
 
 
 def _block_sort_kernel(shift: int, interpret: bool, keys_ref, pay_ref,
