@@ -9,7 +9,7 @@ of its own (see BASELINE.md), so the baseline is measured, not quoted. The
 C baseline run is cached in results/baseline_c.json.
 
 Env knobs:
-  SA_BENCH_BYTES      bench text size (default 1 GiB on TPU, 1 MiB on CPU)
+  SA_BENCH_BYTES      bench text size (default 256 MiB on TPU, 1 MiB on CPU)
   SA_BENCH_BASELINE_BYTES  C baseline text size (default 16 MiB)
   SA_BENCH_REPS       timed repetitions (default 3, best-of)
 """

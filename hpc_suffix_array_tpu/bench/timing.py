@@ -63,7 +63,11 @@ def run_benchmark(text, implementation: str = "tpu",
         sa = jax.block_until_ready(build_suffix_array_sharded(arr, mesh))
     t1 = time.perf_counter()
 
-    lcp = jax.block_until_ready(build_lcp_array(arr, sa))
+    if mesh is None:
+        lcp = jax.block_until_ready(build_lcp_array(arr, sa))
+    else:
+        from hpc_suffix_array_tpu.parallel import build_lcp_array_sharded
+        lcp = jax.block_until_ready(build_lcp_array_sharded(arr, sa, mesh))
     t2 = time.perf_counter()
 
     lrs = find_longest_repeated_substring(arr, sa, lcp)

@@ -153,6 +153,17 @@ def _print_structured(r: dict, dialect: str, out) -> None:
 
 
 def main(argv=None) -> int:
+    # SA_PLATFORM=cpu forces the backend even where jax was pre-imported
+    # before the process env could be changed (JAX_PLATFORMS is snapshotted
+    # at jax import time; jax.config.update works until first backend use).
+    import os
+
+    plat = os.environ.get("SA_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     p = argparse.ArgumentParser(
         prog="sa-cli",
         description="TPU-native suffix array / LCP / LRS "

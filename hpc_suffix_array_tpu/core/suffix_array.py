@@ -98,7 +98,10 @@ def suffix_array_kernel(rank0: jnp.ndarray, k0: jnp.ndarray):
 
     Returns:
       sa:     int32[n] suffix order (sa[j] = start of j-th smallest suffix).
-      rank:   int32[n] final dense ranks (== inverse SA when converged).
+      rank:   int32[n] dense ranks as of the round BEFORE the converging
+              one - the converging round skips the route back to position
+              order (see _doubling_round), so this is NOT the inverse SA;
+              it is internal state exposed for diagnostics only.
       rounds: int32 number of doubling rounds executed.
     """
     n = rank0.shape[0]
@@ -182,8 +185,9 @@ def suffix_array_from_bytes_kernel(text_pad: jnp.ndarray, remap: jnp.ndarray,
 def pack_initial_ranks(arr: np.ndarray, n_pad: int) -> tuple[np.ndarray, int]:
     """Host-side packed initial ranks (same code as pack_ranks_kernel).
 
-    Used by the sharded builder, whose packing currently happens before
-    `device_put` shards the array.
+    Kept as the host-side reference for the device packing kernels (the
+    sharded builder now packs per-shard on device, parallel/doubling.py)
+    and for tests/tools that want packed ranks without a device.
     """
     n = int(arr.shape[0])
     if n == 0:

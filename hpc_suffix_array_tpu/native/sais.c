@@ -1,7 +1,13 @@
 /* Native host-side suffix-array helpers for hpc_suffix_array_tpu.
  *
- * Own-design linear-time SA-IS construction (induced sorting), Kasai LCP,
- * and an O(n) suffix-array validator. These are the native runtime pieces
+ * Linear-time SA-IS construction (induced sorting), Kasai LCP, and an
+ * O(n) suffix-array validator. The SA-IS code follows the canonical
+ * Nong-Zhang-Chan algorithm structure (IS_LMS classification, induce-L /
+ * induce-S passes, LMS renaming) as published in "Two Efficient
+ * Algorithms for Linear Time Suffix Array Construction" (2011) - the
+ * standard formulation any SA-IS implementation shares; it is not
+ * derived from /root/reference, which contains no SA-IS.
+ * These are the native runtime pieces
  * around the TPU compute path: a fast trusted oracle for tests and
  * validation of large corpora, and the host-side baseline the benchmark
  * harness can compare against.

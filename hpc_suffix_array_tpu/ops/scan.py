@@ -32,12 +32,24 @@ def dense_ranks(sorted_rank: jnp.ndarray, sorted_rank_k: jnp.ndarray):
 
 
 def route_to_positions(sorted_idx: jnp.ndarray, dense: jnp.ndarray):
-    """Permute dense ranks from sorted order back to suffix-position order."""
+    """Permute dense ranks from sorted order back to suffix-position order.
+
+    Platform dispatch happens at lowering time (`lax.platform_dependent`),
+    so an array explicitly committed to a non-default backend still gets
+    the right implementation compiled in (trace-time `default_backend()`
+    checks would bake the wrong branch into cross-backend programs).
+    """
     n = sorted_idx.shape[0]
-    if jax.default_backend() == "cpu":
-        return jnp.zeros((n,), jnp.int32).at[sorted_idx].set(dense)
-    _, new_rank = lax.sort((sorted_idx, dense), num_keys=1)
-    return new_rank
+
+    def _scatter(si, d):
+        return jnp.zeros((n,), jnp.int32).at[si].set(d)
+
+    def _sortroute(si, d):
+        _, new_rank = lax.sort((si, d), num_keys=1)
+        return new_rank
+
+    return jax.lax.platform_dependent(
+        sorted_idx, dense, cpu=_scatter, default=_sortroute)
 
 
 def rerank_sorted(sorted_rank: jnp.ndarray, sorted_rank_k: jnp.ndarray,

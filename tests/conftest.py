@@ -12,17 +12,25 @@ import os
 # via PYTHONPATH=/root/.axon_site — so jax's config has already snapshotted
 # the env var. Setting os.environ here is too late; jax.config.update is the
 # reliable override (the backend itself is not initialized until first use).
+# Force the value (replacing any pre-set count) rather than only appending:
+# a pre-existing different device count would otherwise abort collection.
+import re as _re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+flags = _re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-assert jax.local_device_count() == 8, (
-    "tests require the 8-device virtual CPU mesh; got "
-    f"{jax.devices()}")
+if jax.local_device_count() != 8:
+    import pytest as _pytest
+
+    _pytest.exit(
+        "tests require the 8-device virtual CPU mesh (jax was initialized "
+        f"before conftest could set XLA_FLAGS); got {jax.devices()}",
+        returncode=3)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
