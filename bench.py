@@ -63,15 +63,15 @@ def measure_tpu(n: int, reps: int) -> float:
     remap, bits, h0 = alphabet_remap(text)
     args = (text_pad, jnp.asarray(remap), bits, h0, jnp.int32(n))
 
-    sa, _r, _rounds = suffix_array_from_bytes_kernel(*args)   # warmup/compile
+    sa, _r, rounds = suffix_array_from_bytes_kernel(*args)   # warmup/compile
     jax.device_get(sa[-1])
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        sa, _r, _rounds = suffix_array_from_bytes_kernel(*args)
+        sa, _r, rounds = suffix_array_from_bytes_kernel(*args)
         jax.device_get(sa[-1])
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best, int(jax.device_get(rounds))
 
 
 def measure_c_baseline(n: int) -> float | None:
@@ -124,10 +124,12 @@ def main() -> None:
     reps = int(os.environ.get("SA_BENCH_REPS", "3"))
     nb = int(os.environ.get("SA_BENCH_BASELINE_BYTES", 1 << 24))
 
-    # Halve on OOM so the driver always gets a number.
+    # Halve on OOM so the driver always gets a number; any fallback is
+    # recorded in the output JSON (requested_bytes vs n).
+    requested_n = n
     while True:
         try:
-            secs = measure_tpu(n, reps)
+            secs, rounds = measure_tpu(n, reps)
             break
         except Exception:
             if n <= 1 << 16:
@@ -178,12 +180,19 @@ def main() -> None:
         except Exception as e:
             print(f"# secondary metrics skipped: {e}", file=sys.stderr)
 
-    print(json.dumps({
+    line = {
         "metric": "suffix_array_build_throughput",
         "value": round(bps / 1e6, 3),
         "unit": "MB/s/chip",
         "vs_baseline": round(vs, 3),
-    }))
+        "n": n,
+        "corpus": "random_alnum",
+        "rounds": rounds,
+    }
+    if n != requested_n:
+        line["requested_bytes"] = requested_n
+        line["oom_fallback"] = True
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

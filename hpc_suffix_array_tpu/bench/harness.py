@@ -20,8 +20,11 @@ external consumers.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import pathlib
+import signal
+import threading
 import time
 from datetime import datetime
 
@@ -50,19 +53,77 @@ def _row_for_file(path, result, backend: str, processes: int) -> dict:
         "total_time": result.total_time,
         "sa_time": result.sa_time,
         "lcp_time": result.lcp_time,
+        "lrs_time": result.lrs_time,
+        "compile_time": result.compile_time,
         "success": True,
+        "error": "",
         "timestamp": datetime.now(),
     }
 
 
+def _failed_row(path, size_bytes: int, backend: str, processes: int,
+                error: str) -> dict:
+    """FAILED row: the sweep records the failure and continues, matching
+    the reference harness (benchmark_sequential.py:105-130,211-213)."""
+    return {
+        "file": os.path.basename(str(path)),
+        "size_bytes": size_bytes,
+        "size_mb": size_bytes / MB,
+        "backend": backend,
+        "processes": processes,
+        "time_seconds": 0.0,
+        "throughput_mb_s": 0.0,
+        "throughput_chars_per_second": 0.0,
+        "lrs_length": 0,
+        "total_time": 0.0,
+        "sa_time": 0.0,
+        "lcp_time": 0.0,
+        "lrs_time": 0.0,
+        "compile_time": 0.0,
+        "success": False,
+        "error": error[:500],
+        "timestamp": datetime.now(),
+    }
+
+
+class _PhaseTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def _time_limit(seconds):
+    """Best-effort per-run timeout via SIGALRM (main thread only; a jitted
+    dispatch that never yields to Python cannot be preempted — this catches
+    the common failure mode of a pathologically slow corpus between
+    dispatches, the analog of the reference's subprocess timeout at
+    benchmark_sequential.py:84)."""
+    if not seconds or threading.current_thread() is not threading.main_thread():
+        yield
+        return
+
+    def _raise(signum, frame):
+        raise _PhaseTimeout(f"timeout after {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(int(seconds))
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def benchmark_corpora(files, results_dir="results/benchmarks",
-                      mesh_sizes=(None,), verbose: bool = True
-                      ) -> pd.DataFrame:
+                      mesh_sizes=(None,), verbose: bool = True,
+                      timeout_s: float | None = 7200) -> pd.DataFrame:
     """Sweep corpus files across backends; write per-backend CSVs.
 
     ``mesh_sizes``: iterable of None (single-device) and/or ints (sharded
     mesh sizes) — the analog of the reference's np sweep [2,4,8]
-    (benchmark_mpi.py:154).
+    (benchmark_mpi.py:154). A file that fails or exceeds ``timeout_s``
+    (default = the reference's 7200 s envelope,
+    benchmark_sequential.py:84) produces a FAILED row and the sweep
+    continues.
     """
     results_dir = pathlib.Path(results_dir)
     results_dir.mkdir(parents=True, exist_ok=True)
@@ -77,12 +138,33 @@ def benchmark_corpora(files, results_dir="results/benchmarks",
             backend = f"tpu_sharded_{ms}"
             processes = ms
         for path in files:
-            text = read_file(str(path))
+            try:
+                text = read_file(str(path))
+            except OSError as e:
+                if verbose:
+                    print(f"[{backend}] {path} ... FAILED (read: {e})")
+                rows.append(_failed_row(path, 0, backend, processes,
+                                        f"read error: {e}"))
+                continue
             if verbose:
                 print(f"[{backend}] {path} ({len(text) / MB:.1f} MB) ... ",
                       end="", flush=True)
             t0 = time.perf_counter()
-            r = run_benchmark(text, backend, "file", mesh=mesh)
+            try:
+                with _time_limit(timeout_s):
+                    r = run_benchmark(text, backend, "file", mesh=mesh)
+            except _PhaseTimeout as e:
+                if verbose:
+                    print("TIMEOUT")
+                rows.append(_failed_row(path, len(text), backend, processes,
+                                        str(e)))
+                continue
+            except Exception as e:
+                if verbose:
+                    print(f"FAILED ({type(e).__name__})")
+                rows.append(_failed_row(path, len(text), backend, processes,
+                                        f"{type(e).__name__}: {e}"))
+                continue
             if verbose:
                 print(f"OK ({time.perf_counter() - t0:.2f}s) "
                       f"LRS={r.lrs_length}")
@@ -98,6 +180,59 @@ def benchmark_corpora(files, results_dir="results/benchmarks",
     if not par.empty:
         par = add_speedup_efficiency(par, seq)
         par.to_csv(results_dir / "parallel_results.csv", index=False)
+    return df
+
+
+def weak_scaling_proxy(bytes_per_shard: int = 1 << 20,
+                       mesh_sizes=(1, 2, 4, 8),
+                       results_dir="results/benchmarks",
+                       input_type: str = "random",
+                       verbose: bool = True) -> pd.DataFrame:
+    """Weak-scaling sweep: n grows with the mesh (n = P * bytes_per_shard).
+
+    Stand-in for the >=70% multi-host weak-scaling north star while real
+    multi-chip hardware is unavailable: on the virtual CPU mesh the curve
+    tracks algorithmic overhead (collective hops, seam exchanges), not ICI
+    bandwidth — a proxy, and labeled as such in the CSV. Rows append to
+    ``parallel_results.csv`` with weak_efficiency = t(1 shard) / t(P
+    shards) at constant per-shard load.
+    """
+    from hpc_suffix_array_tpu.datasets.generate import (
+        generate_dna_text, generate_random_text, generate_repetitive_text)
+    from hpc_suffix_array_tpu.parallel import make_mesh
+
+    gens = {"random": generate_random_text,
+            "repetitive": generate_repetitive_text,
+            "dna": generate_dna_text}
+    rows = []
+    t1 = None
+    for p in mesh_sizes:
+        n = bytes_per_shard * p
+        text = gens[input_type](n, seed=42)
+        mesh = make_mesh(p)
+        r = run_benchmark(text, f"tpu_sharded_{p}", input_type, mesh=mesh)
+        if t1 is None:
+            t1 = r.sa_time
+        eff = t1 / r.sa_time if r.sa_time > 0 else 0.0
+        if verbose:
+            print(f"weak-scaling P={p} n={n / MB:.1f}MB "
+                  f"sa={r.sa_time:.3f}s eff={eff:.2f}")
+        row = _row_for_file(f"weak_{input_type}_{p}shard", r,
+                            f"tpu_sharded_{p}", p)
+        row["scaling_mode"] = "weak_proxy_cpu_mesh"
+        row["weak_efficiency"] = eff
+        rows.append(row)
+
+    df = pd.DataFrame(rows)
+    results_dir = pathlib.Path(results_dir)
+    results_dir.mkdir(parents=True, exist_ok=True)
+    out = results_dir / "parallel_results.csv"
+    if out.exists():
+        old = pd.read_csv(out)
+        old = old[old.get("scaling_mode").isna()] if "scaling_mode" in old \
+            else old
+        df = pd.concat([old, df], ignore_index=True)
+    df.to_csv(out, index=False)
     return df
 
 

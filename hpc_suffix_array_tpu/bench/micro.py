@@ -20,8 +20,14 @@ from hpc_suffix_array_tpu.datasets.generate import (
 SIZES = (1_000, 5_000, 10_000, 50_000, 100_000, 500_000, 1_000_000)
 REPS = 3
 
+# Reference header (suffix_array_benchmark.c:78) + one extra trailing
+# column: compile_time. The C suite had no JIT; recording XLA compile cost
+# in-row would poison every small-n timing (a 1-time ~seconds compile vs
+# microseconds of run), so run_benchmark warms up first and reports the
+# compile separately.
 CSV_HEADER = ["implementation", "input_type", "string_length", "total_time",
-              "sa_time", "lcp_time", "lrs_time", "memory_used"]
+              "sa_time", "lcp_time", "lrs_time", "memory_used",
+              "compile_time"]
 
 
 def run_micro_benchmark(out_csv="results/csv/benchmark_results_tpu.csv",
@@ -52,7 +58,7 @@ def run_micro_benchmark(out_csv="results/csv/benchmark_results_tpu.csv",
             w.writerow([r.implementation, r.input_type, r.string_length,
                         f"{r.total_time:.6f}", f"{r.sa_time:.6f}",
                         f"{r.lcp_time:.6f}", f"{r.lrs_time:.6f}",
-                        r.memory_used])
+                        r.memory_used, f"{r.compile_time:.6f}"])
     if verbose:
         print(f"Results saved to {path}")
     return results

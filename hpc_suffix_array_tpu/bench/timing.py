@@ -4,23 +4,35 @@ Parity with the reference C benchmark core
 (src/benchmark/suffix_array_benchmark.{h,c}): the ``BenchmarkResult``
 record mirrors the struct at suffix_array_benchmark.h:9-18 and
 ``run_benchmark`` mirrors the phase protocol at :22-68 including the
-3·n·sizeof(int32) working-set estimate (:61). TPU-first: every phase is
-fenced with `jax.block_until_ready` so device-async execution cannot leak
-one phase's work into the next timer (the C code needed no fences).
+3·n·sizeof(int32) working-set estimate (:61).
+
+TPU-first differences from the C protocol:
+  * every phase is fenced (device_get of the result tail, not just
+    `block_until_ready`, which is an enqueue fence through the TPU
+    tunnel) so device-async execution cannot leak across phase timers;
+  * an untimed warmup run precedes the timed run, and the XLA compile
+    cost is reported separately as ``compile_time`` (first run minus
+    steady-state run). The reference's C timings had no JIT; folding
+    compile into run time would make every small-n row garbage.
+
+Phases are timed through ``utils.profiling.phase_timer`` so the CSV rows
+and the CLI trace path share one timing mechanism.
 """
 
 from __future__ import annotations
 
-import time
 from dataclasses import asdict, dataclass
 
 import numpy as np
+
+from hpc_suffix_array_tpu.utils.profiling import PhaseTimings, phase_timer
 
 
 @dataclass
 class BenchmarkResult:
     """Mirror of the reference BenchmarkResult struct
-    (suffix_array_benchmark.h:9-18)."""
+    (suffix_array_benchmark.h:9-18) plus ``compile_time`` (JIT cost,
+    separated so run-time rows stay comparable to the C baseline)."""
 
     implementation: str
     input_type: str
@@ -32,46 +44,95 @@ class BenchmarkResult:
     memory_used: int
     lrs_length: int = 0
     valid: bool | None = None
+    compile_time: float = 0.0
 
     def as_row(self) -> dict:
         return asdict(self)
 
 
-def run_benchmark(text, implementation: str = "tpu",
-                  input_type: str = "random", mesh=None,
-                  validate: bool = False) -> BenchmarkResult:
-    """Time one full SA + LCP + LRS pipeline on ``text``.
-
-    ``mesh=None`` uses the single-device kernel; otherwise the sharded
-    builder over the given Mesh.
-    """
+def _strong_fence(x):
+    """Completion fence that works through the TPU tunnel: device_get of
+    the last element of every array leaf (block_until_ready returns at
+    enqueue on the tunnel transport)."""
     import jax
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "shape") and getattr(leaf, "size", 0):
+            jax.device_get(leaf.ravel()[-1])
+        else:
+            jax.block_until_ready(leaf)
+    return x
+
+
+def _pipeline(arr, mesh, timings: PhaseTimings | None):
+    """One SA + LCP + LRS pipeline; phases timed into ``timings`` if given."""
+    import contextlib
 
     from hpc_suffix_array_tpu.core.lcp import build_lcp_array
     from hpc_suffix_array_tpu.core.lrs import find_longest_repeated_substring
-    from hpc_suffix_array_tpu.core.suffix_array import (
-        as_byte_array, build_suffix_array)
+    from hpc_suffix_array_tpu.core.suffix_array import build_suffix_array
+
+    def phase(name):
+        if timings is None:
+            return contextlib.nullcontext({})
+        return phase_timer(timings, name, fence_fn=_strong_fence)
+
+    with phase("sa_build") as out:
+        if mesh is None:
+            sa = build_suffix_array(arr)
+        else:
+            from hpc_suffix_array_tpu.parallel import build_suffix_array_sharded
+            sa = build_suffix_array_sharded(arr, mesh)
+        out["fence"] = sa
+    if timings is None:
+        _strong_fence(sa)
+
+    with phase("lcp_build") as out:
+        if mesh is None:
+            lcp = build_lcp_array(arr, sa)
+        else:
+            from hpc_suffix_array_tpu.parallel import build_lcp_array_sharded
+            lcp = build_lcp_array_sharded(arr, sa, mesh)
+        out["fence"] = lcp
+    if timings is None:
+        _strong_fence(lcp)
+
+    with phase("lrs_search"):
+        lrs = find_longest_repeated_substring(arr, sa, lcp)
+
+    return sa, lcp, lrs
+
+
+def run_benchmark(text, implementation: str = "tpu",
+                  input_type: str = "random", mesh=None,
+                  validate: bool = False, warmup: bool = True
+                  ) -> BenchmarkResult:
+    """Time one full SA + LCP + LRS pipeline on ``text``.
+
+    ``mesh=None`` uses the single-device kernel; otherwise the sharded
+    builder over the given Mesh. ``warmup=True`` runs the pipeline once
+    untimed first; the difference between the warmup and the timed run is
+    reported as ``compile_time`` (0 when shapes were already cached).
+    """
+    import time
+
+    from hpc_suffix_array_tpu.core.suffix_array import as_byte_array
 
     arr = as_byte_array(text)
     n = int(arr.shape[0])
 
-    t0 = time.perf_counter()
-    if mesh is None:
-        sa = jax.block_until_ready(build_suffix_array(arr))
-    else:
-        from hpc_suffix_array_tpu.parallel import build_suffix_array_sharded
-        sa = jax.block_until_ready(build_suffix_array_sharded(arr, mesh))
-    t1 = time.perf_counter()
+    compile_time = 0.0
+    if warmup:
+        t0 = time.perf_counter()
+        _pipeline(arr, mesh, None)
+        warmup_total = time.perf_counter() - t0
 
-    if mesh is None:
-        lcp = jax.block_until_ready(build_lcp_array(arr, sa))
-    else:
-        from hpc_suffix_array_tpu.parallel import build_lcp_array_sharded
-        lcp = jax.block_until_ready(build_lcp_array_sharded(arr, sa, mesh))
-    t2 = time.perf_counter()
+    timings = PhaseTimings()
+    with phase_timer(timings, "total", fence_fn=_strong_fence):
+        sa, lcp, lrs = _pipeline(arr, mesh, timings)
 
-    lrs = find_longest_repeated_substring(arr, sa, lcp)
-    t3 = time.perf_counter()
+    if warmup:
+        compile_time = max(0.0, warmup_total - timings["total"])
 
     valid = None
     if validate:
@@ -82,11 +143,12 @@ def run_benchmark(text, implementation: str = "tpu",
         implementation=implementation,
         input_type=input_type,
         string_length=n,
-        total_time=t3 - t0,
-        sa_time=t1 - t0,
-        lcp_time=t2 - t1,
-        lrs_time=t3 - t2,
+        total_time=timings["total"],
+        sa_time=timings["sa_build"],
+        lcp_time=timings["lcp_build"],
+        lrs_time=timings["lrs_search"],
         memory_used=3 * n * 4,   # reference estimate, suffix_array_benchmark.c:61
         lrs_length=len(lrs) if lrs else 0,
         valid=valid,
+        compile_time=compile_time,
     )

@@ -30,9 +30,11 @@ class PhaseTimings(dict):
 
 
 @contextlib.contextmanager
-def phase_timer(timings: PhaseTimings, name: str, fence=None):
-    """Time a phase; ``fence`` (any jax value/pytree) is block_until_ready'd
-    before the clock stops."""
+def phase_timer(timings: PhaseTimings, name: str, fence=None, fence_fn=None):
+    """Time a phase; ``fence`` (any jax value/pytree) is fenced before the
+    clock stops. The default fence is `jax.block_until_ready`; pass
+    ``fence_fn`` for a stronger fence (e.g. a device_get-based one — on
+    the TPU tunnel transport block_until_ready returns at enqueue)."""
     import jax
 
     t0 = time.perf_counter()
@@ -42,7 +44,7 @@ def phase_timer(timings: PhaseTimings, name: str, fence=None):
     finally:
         val = out.get("fence", fence)
         if val is not None:
-            jax.block_until_ready(val)
+            (fence_fn or jax.block_until_ready)(val)
         timings[name] = timings.get(name, 0.0) + time.perf_counter() - t0
 
 

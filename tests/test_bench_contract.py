@@ -23,6 +23,10 @@ def test_bench_json_line():
     lines = [l for l in out.stdout.splitlines() if l.strip().startswith("{")]
     assert len(lines) == 1, out.stdout
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    # Driver contract keys plus the honesty keys (corpus size, class,
+    # round count; requested_bytes/oom_fallback appear only on fallback).
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    assert {"n", "corpus", "rounds"} <= set(rec)
+    assert rec["n"] == 1 << 16 and "oom_fallback" not in rec
     assert rec["value"] > 0
     assert rec["unit"] == "MB/s/chip"

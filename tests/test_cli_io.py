@@ -108,7 +108,7 @@ def test_bench_micro_and_harness(tmp_path):
     df = pd.read_csv(tmp_path / "micro.csv")
     assert list(df.columns) == [
         "implementation", "input_type", "string_length", "total_time",
-        "sa_time", "lcp_time", "lrs_time", "memory_used"]
+        "sa_time", "lcp_time", "lrs_time", "memory_used", "compile_time"]
 
     fixtures = generate_test_fixtures(tmp_path / "data")
     out = benchmark_corpora(
@@ -118,6 +118,35 @@ def test_bench_micro_and_harness(tmp_path):
     par = pd.read_csv(tmp_path / "results" / "parallel_results.csv")
     assert {"speedup", "efficiency"} <= set(par.columns)
     assert (par["speedup"] > 0).all()   # the reference's silent-zero bug, fixed
+
+
+def test_harness_failed_rows(tmp_path):
+    """A poisoned file yields a FAILED row and the sweep continues
+    (reference benchmark_sequential.py:105-130,211-213)."""
+    from hpc_suffix_array_tpu.bench import benchmark_corpora
+
+    good = tmp_path / "good.txt"
+    good.write_bytes(b"mississippi" * 50)
+    missing = tmp_path / "missing.txt"
+    df = benchmark_corpora([missing, good], results_dir=tmp_path / "r",
+                           verbose=False)
+    assert len(df) == 2
+    bad_row = df[df.file == "missing.txt"].iloc[0]
+    assert not bad_row.success and "read error" in bad_row.error
+    good_row = df[df.file == "good.txt"].iloc[0]
+    assert good_row.success and good_row.sa_time > 0
+    assert "compile_time" in df.columns
+
+
+def test_weak_scaling_proxy(tmp_path):
+    from hpc_suffix_array_tpu.bench.harness import weak_scaling_proxy
+
+    df = weak_scaling_proxy(bytes_per_shard=2048, mesh_sizes=(1, 2),
+                            results_dir=tmp_path / "r", verbose=False)
+    assert len(df) == 2
+    assert (df.scaling_mode == "weak_proxy_cpu_mesh").all()
+    assert df.weak_efficiency.iloc[0] == 1.0
+    assert (tmp_path / "r" / "parallel_results.csv").exists()
 
 
 def test_structured_results_parser(capsys):
