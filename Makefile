@@ -36,7 +36,8 @@ data:
 
 charts:
 	$(PY) -c "from hpc_suffix_array_tpu.viz import *; \
-	  generate_comparative_charts(); generate_multi_backend_report()"
+	  generate_comparative_charts(); generate_multi_backend_report(); \
+	  generate_phase_breakdown_chart('results/benchmarks/sequential_results.csv')"
 
 clean:
 	rm -rf results __pycache__ **/__pycache__ .pytest_cache

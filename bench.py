@@ -45,9 +45,12 @@ def measure_tpu(n: int, reps: int) -> float:
     """Best-of-reps seconds for a full suffix-array build of n bytes.
 
     The text is staged on the device once (a production index server keeps
-    its corpus device-resident); the timed region is the fused
-    pack + doubling kernel, fenced by a device_get of the final element
-    (`block_until_ready` is not a reliable fence through the TPU tunnel).
+    its corpus device-resident); the timed region is the build itself,
+    fenced by a device_get of the final element (`block_until_ready` is
+    not a reliable fence through the TPU tunnel). Texts above
+    SA_BIG_THRESHOLD use the out-of-core MSD path (core/bigsort.py) whose
+    host-side planning is part of the timed region — only the text
+    staging is excluded, same policy as the doubling path.
     """
     import jax
     import jax.numpy as jnp
@@ -56,6 +59,29 @@ def measure_tpu(n: int, reps: int) -> float:
         alphabet_remap, bucket_size, suffix_array_from_bytes_kernel)
 
     text = _bench_text(n)
+
+    if n > int(os.environ.get("SA_BIG_THRESHOLD", 1 << 28)):
+        from hpc_suffix_array_tpu.core.bigsort import (
+            execute_big, prepare_big, sample_edges)
+
+        state = prepare_big(text)                      # staging (untimed)
+        sa = execute_big(dict(state))                  # warmup/compile
+        jax.device_get(sa[-1])
+        del sa
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            # Timed region includes the host re-plan (edge sampling), the
+            # distribute passes, and every bucket pass.
+            plan = state["plan"]
+            plan.e0, plan.e1 = sample_edges(
+                text, plan.remap, plan.spw, plan.bits, 1 << 24)
+            sa = execute_big(dict(state))
+            jax.device_get(sa[-1])
+            best = min(best, time.perf_counter() - t0)
+            del sa
+        return best, {"path": "msd_bigsort",
+                      "buckets": state["plan"].meta.get("n_buckets_run")}
     n_pad = bucket_size(n)
     host = np.zeros(n_pad, np.uint8)
     host[:n] = text
@@ -71,7 +97,7 @@ def measure_tpu(n: int, reps: int) -> float:
         sa, _r, rounds = suffix_array_from_bytes_kernel(*args)
         jax.device_get(sa[-1])
         best = min(best, time.perf_counter() - t0)
-    return best, int(jax.device_get(rounds))
+    return best, {"path": "doubling", "rounds": int(jax.device_get(rounds))}
 
 
 def measure_c_baseline(n: int) -> float | None:
@@ -129,7 +155,7 @@ def main() -> None:
     requested_n = n
     while True:
         try:
-            secs, rounds = measure_tpu(n, reps)
+            secs, info = measure_tpu(n, reps)
             break
         except Exception:
             if n <= 1 << 16:
@@ -151,6 +177,9 @@ def main() -> None:
             from hpc_suffix_array_tpu.core.suffix_array import (
                 alphabet_remap, bucket_size, suffix_array_from_bytes_kernel)
 
+            from hpc_suffix_array_tpu.core.bigsort import (
+                estimate_repeat_len, execute_big, prepare_big)
+
             rng = np.random.default_rng(0xD0)
             nsec = min(n, 1 << 24)
             for tag, arr in (
@@ -159,24 +188,66 @@ def main() -> None:
                 ("repetitive_p1000", np.tile(
                     _bench_text(1000), nsec // 1000 + 1)[:nsec]),
             ):
-                n_pad = bucket_size(nsec)
-                host = np.zeros(n_pad, np.uint8)
-                host[:nsec] = arr
-                remap2, bits2, h02 = alphabet_remap(arr)
-                a = (jnp.asarray(host), jnp.asarray(remap2), bits2, h02,
-                     jnp.int32(nsec))
-                sa, _r, _rounds = suffix_array_from_bytes_kernel(*a)
-                jax.device_get(sa[-1])
-                t0 = time.perf_counter()
-                sa, _r, rounds = suffix_array_from_bytes_kernel(*a)
-                jax.device_get(sa[-1])
-                dt = time.perf_counter() - t0
+                extra = {}
+                if estimate_repeat_len(arr) > 48:
+                    # Same routing as build_suffix_array: long repeats go
+                    # through the MSD + periodic-chain path.
+                    state = prepare_big(arr)
+                    sa = execute_big(dict(state))            # warmup
+                    jax.device_get(sa[-1])
+                    del sa
+                    t0 = time.perf_counter()
+                    sa = execute_big(dict(state))
+                    jax.device_get(sa[-1])
+                    dt = time.perf_counter() - t0
+                    extra["path"] = "msd_chain"
+                else:
+                    n_pad = bucket_size(nsec)
+                    host = np.zeros(n_pad, np.uint8)
+                    host[:nsec] = arr
+                    remap2, bits2, h02 = alphabet_remap(arr)
+                    a = (jnp.asarray(host), jnp.asarray(remap2), bits2, h02,
+                         jnp.int32(nsec))
+                    sa, _r, _rounds = suffix_array_from_bytes_kernel(*a)
+                    jax.device_get(sa[-1])
+                    t0 = time.perf_counter()
+                    sa, _r, rounds = suffix_array_from_bytes_kernel(*a)
+                    jax.device_get(sa[-1])
+                    dt = time.perf_counter() - t0
+                    extra["rounds"] = int(jax.device_get(rounds))
                 print(json.dumps({
                     "metric": f"sa_build_{tag}",
                     "value": round(nsec / dt / 1e6, 3),
                     "unit": "MB/s/chip",
-                    "rounds": int(jax.device_get(rounds)),
+                    **extra,
                 }), file=sys.stderr)
+
+            # LCP throughput at benchmark scale (the reference's contract
+            # always measures LCP_TIME, main_sequential.c:41-49). Window
+            # path (core/lcp_window.py); warmup rep pays the compiles.
+            nl = min(n, 1 << 26)
+            from hpc_suffix_array_tpu.core.lcp_window import (
+                build_lcp_array_window, prepare_lcp)
+            from hpc_suffix_array_tpu.core.suffix_array import (
+                build_suffix_array)
+
+            arr = _bench_text(nl)
+            sa = build_suffix_array(arr)
+            jax.device_get(sa[-1])
+            lstate = prepare_lcp(arr)
+            lcp = build_lcp_array_window(arr, sa, lstate)     # warmup
+            jax.device_get(lcp[-1])
+            del lcp
+            t0 = time.perf_counter()
+            lcp = build_lcp_array_window(arr, sa, lstate)
+            jax.device_get(lcp[-1])
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": "lcp_build",
+                "value": round(nl / dt / 1e6, 3),
+                "unit": "MB/s/chip",
+                "n": nl,
+            }), file=sys.stderr)
         except Exception as e:
             print(f"# secondary metrics skipped: {e}", file=sys.stderr)
 
@@ -187,7 +258,8 @@ def main() -> None:
         "vs_baseline": round(vs, 3),
         "n": n,
         "corpus": "random_alnum",
-        "rounds": rounds,
+        "rounds": info.get("rounds", 0),
+        **({"path": info["path"]} if info.get("path") != "doubling" else {}),
     }
     if n != requested_n:
         line["requested_bytes"] = requested_n

@@ -46,7 +46,8 @@ def main(argv=None) -> int:
         generate_standard_datasets, generate_test_fixtures)
     from hpc_suffix_array_tpu.viz import (
         generate_comparative_charts, generate_multi_backend_report,
-        generate_performance_charts, generate_statistics_report)
+        generate_performance_charts, generate_phase_breakdown_chart,
+        generate_statistics_report)
 
     env = detect_environment()
     print(f"environment: {env}")
@@ -96,6 +97,9 @@ def main(argv=None) -> int:
 
     step("performance charts",
          lambda: generate_performance_charts(
+             f"{args.results_dir}/sequential_results.csv", args.charts_dir))
+    step("phase breakdown chart",
+         lambda: generate_phase_breakdown_chart(
              f"{args.results_dir}/sequential_results.csv", args.charts_dir))
     step("comparative charts",
          lambda: generate_comparative_charts(args.results_dir,

@@ -160,11 +160,24 @@ def lcp_from_plcp(plcp: jnp.ndarray, sa: jnp.ndarray):
 
 
 def build_lcp_array(text, sa) -> jnp.ndarray:
-    """LCP array: lcp[j] = LCP(suffix sa[j-1], suffix sa[j]); lcp[0] = 0."""
+    """LCP array: lcp[j] = LCP(suffix sa[j-1], suffix sa[j]); lcp[0] = 0.
+
+    Texts beyond SA_LCP_WINDOW_MIN bytes (default 4 MiB) use the chunked
+    window-compare path (core/lcp_window.py) — its programs are in the
+    sort/gather class the TPU tunnel compiles in minutes, where the PLCP
+    round program (scans + pointer-jumping gathers) costs hours of
+    remote compile at benchmark shapes (measured r2; see TODO.md).
+    """
+    import os
+
     arr = jnp.asarray(as_byte_array(text), jnp.uint8)
     n = int(arr.shape[0])
     if n == 0:
         return jnp.zeros((0,), jnp.int32)
     sa = jnp.asarray(sa, jnp.int32)
+    if n > int(os.environ.get("SA_LCP_WINDOW_MIN", 1 << 22)):
+        from hpc_suffix_array_tpu.core.lcp_window import (
+            build_lcp_array_window)
+        return build_lcp_array_window(arr, sa)
     plcp = plcp_kernel(arr, sa)
     return lcp_from_plcp(plcp, sa)

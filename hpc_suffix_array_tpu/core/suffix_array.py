@@ -223,11 +223,36 @@ def build_suffix_array(text) -> jnp.ndarray:
     real SA is recovered by a static tail slice. This keeps shapes static
     and bucketed for XLA, replacing the reference's malloc-per-size
     (manber_myers.c:83-85).
+
+    Routing (see core/bigsort.py):
+      * n > SA_BIG_THRESHOLD (default 256 MiB): the out-of-core MSD
+        bucket sort — the doubling kernel's ~30 B/char working set
+        exceeds single-chip HBM there (~15.6 GiB usable on v5e,
+        measured);
+      * n > SA_CHAIN_MIN (default 4 MiB) with long repeats detected by a
+        host-side sample: the bucket sort's periodic-chain resolution,
+        which replaces the doubling loop's log2(n) rounds on periodic
+        text with one windowed sort pass (falls back here on
+        non-globally-periodic repeat structure).
     """
+    import os
+
     arr = as_byte_array(text)
     n = int(arr.shape[0])
     if n == 0:
         return jnp.zeros((0,), jnp.int32)
+    big_threshold = int(os.environ.get("SA_BIG_THRESHOLD", 1 << 28))
+    if n > big_threshold:
+        from hpc_suffix_array_tpu.core.bigsort import build_suffix_array_big
+        return build_suffix_array_big(arr)
+    if n > int(os.environ.get("SA_CHAIN_MIN", 1 << 22)):
+        from hpc_suffix_array_tpu.core.bigsort import (
+            build_suffix_array_big, estimate_repeat_len)
+        if estimate_repeat_len(arr) > 3 * 16:   # beyond one-pass windows
+            try:
+                return build_suffix_array_big(arr)
+            except NotImplementedError:
+                pass                            # irregular repeats: doubling
     n_pad = bucket_size(n)
     host = np.zeros(n_pad, np.uint8)
     host[:n] = arr

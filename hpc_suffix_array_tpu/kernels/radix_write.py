@@ -1,7 +1,18 @@
-"""Pallas radix write path: block digit sort + global run placement.
+"""Pallas radix pass: block digit sort + global run placement.
 
-Completes the radix-pass design of kernels/radix.py (TODO.md #1) with no
-dynamic-length DMA and no scatter:
+FINAL VERDICT (r2, measured on v5e): a documented dead end in its
+current form, retained as the reference implementation of the approach.
+The pass is byte-exact on hardware, but kernel A costs ~390 ms at 2^24
+vs 74 ms for a full `lax.sort` — the fori_loop-serialized run merge
+(512 sequential roll/blend steps) starves the VPU, and a competitive
+data-parallel merge needs per-lane variable shifts TPU vector units do
+not have. With the r2 finding that `lax.sort` programs are also the
+cheapest class to compile through the TPU tunnel (TODO.md "remote
+compile economics"), the production sort paths stay on `lax.sort`; an
+earlier scaffolding variant of the pass glue (kernels/radix.py, whose
+write step fell back to a 1-key lax.sort) was retired in r2.
+
+Design (no dynamic-length DMA, no scatter):
 
   * `block_digit_sort` (kernel A): each 1K tile is sorted by its 4-bit
     digit with a one-hot destination + permutation-matrix matmul apply

@@ -92,6 +92,54 @@ def generate_performance_charts(results_csv, out_dir="results/charts"):
     return [path]
 
 
+def generate_phase_breakdown_chart(results_csv, out_dir="results/charts"):
+    """Dedicated per-phase breakdown figure (absolute + relative).
+
+    Parity with the reference's standalone breakdown figure
+    (generate_performance_charts.py:132-197): left panel stacks absolute
+    SA / LCP / LRS seconds per corpus size; right panel normalizes to
+    100% so the Amdahl structure (which phase dominates where) is
+    readable across 3 orders of magnitude of input size.
+    """
+    out = _ensure(out_dir)
+    df = pd.read_csv(results_csv).sort_values("size_bytes")
+    if "success" in df:
+        df = df[df.success.astype(bool)]
+    phases = [p for p in ("sa_time", "lcp_time", "lrs_time") if p in df]
+    if df.empty or not phases:
+        return []
+
+    fig, (ax_abs, ax_rel) = plt.subplots(1, 2, figsize=(14, 5.5))
+    fig.suptitle("Phase Breakdown: SA build / LCP build / LRS search")
+
+    labels = [f"{b / (1 << 20):.2g}MB" if b >= 1 << 20 else str(int(b))
+              for b in df.size_bytes]
+    totals = sum(df[p].to_numpy(float) for p in phases)
+    totals = np.maximum(totals, 1e-12)
+
+    for ax, norm in ((ax_abs, None), (ax_rel, totals)):
+        bottom = np.zeros(len(df))
+        for phase in phases:
+            vals = df[phase].to_numpy(float)
+            if norm is not None:
+                vals = 100.0 * vals / norm
+            ax.bar(labels, vals, bottom=bottom,
+                   label=phase.replace("_time", ""))
+            bottom += vals
+        ax.tick_params(axis="x", rotation=45, labelsize=7)
+        ax.legend()
+        ax.grid(True, axis="y", alpha=0.3)
+    ax_abs.set_ylabel("time (s)")
+    ax_rel.set_ylabel("share of total (%)")
+    ax_rel.set_ylim(0, 100)
+
+    fig.tight_layout()
+    path = out / "phase_breakdown.png"
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return [path]
+
+
 def generate_comparative_charts(results_dir="results/benchmarks",
                                 out_dir="results/charts"):
     """Multi-backend comparison: time, throughput, speedup, efficiency

@@ -34,32 +34,8 @@ def test_pack_zero_tail(rng):
 
 
 class TestRadix:
-    """Radix-partition groundwork kernels (interpret mode; see kernels/radix.py)."""
-
-    def test_pass_stable(self, rng):
-        import jax.numpy as jnp
-        from hpc_suffix_array_tpu.kernels.radix import BLOCK, radix_pass
-
-        n = BLOCK * 2
-        keys = rng.integers(0, 1 << 20, n).astype(np.int32)
-        pay = np.arange(n, dtype=np.int32)
-        k1, p1 = radix_pass(jnp.asarray(keys), jnp.asarray(pay), 0, True)
-        order = np.argsort(keys & 15, kind="stable")
-        assert np.array_equal(np.asarray(p1), order)
-        assert np.array_equal(np.asarray(k1), keys[order])
-
-    def test_full_sort(self, rng):
-        import jax.numpy as jnp
-        from hpc_suffix_array_tpu.kernels.radix import BLOCK, radix_sort
-
-        n = BLOCK
-        keys = rng.integers(0, 1 << 16, n).astype(np.int32)
-        pay = np.arange(n, dtype=np.int32)
-        k2, p2 = radix_sort(jnp.asarray(keys), jnp.asarray(pay),
-                            key_bits=16, interpret=True)
-        order = np.argsort(keys, kind="stable")
-        assert np.array_equal(np.asarray(p2), order)
-        assert np.array_equal(np.asarray(k2), keys[order])
+    """Pallas radix pass (interpret mode; retained as a documented dead
+    end - see kernels/radix_write.py FINAL VERDICT)."""
 
     def test_dma_pass(self, rng):
         import jax.numpy as jnp

@@ -1,0 +1,57 @@
+"""Window-compare LCP path (core/lcp_window.py) vs the Kasai oracle."""
+
+import numpy as np
+import pytest
+
+from hpc_suffix_array_tpu.core.lcp_window import build_lcp_array_window
+from hpc_suffix_array_tpu.core.oracle import lcp_oracle, suffix_array_oracle
+
+ALNUM = np.frombuffer(
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+    np.uint8)
+
+
+def _check(text):
+    text = np.asarray(text)
+    sa = np.asarray(suffix_array_oracle(text.tobytes()))
+    lcp = np.asarray(build_lcp_array_window(text, sa))
+    assert np.array_equal(lcp, np.asarray(lcp_oracle(text, sa)))
+
+
+def test_random(rng):
+    _check(rng.integers(0, 256, 50_000).astype(np.uint8))
+
+
+def test_dna(rng):
+    _check(np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 50_000)])
+
+
+def test_long_repeats_host_finish(rng):
+    """Scattered 200-byte repeated blocks: window misses resolved by the
+    host-finish path."""
+    text = ALNUM[rng.integers(0, 62, 40_000)]
+    block = ALNUM[rng.integers(0, 62, 200)]
+    for at in (100, 9000, 25000):
+        text[at:at + 200] = block
+    _check(text)
+
+
+def test_periodic_chain_fix(rng):
+    """Globally periodic text: every adjacent chain pair misses the
+    window and resolves via lcp[j] = n - sa[j-1]."""
+    _check(np.tile(ALNUM[rng.integers(0, 62, 1000)], 40))
+
+
+def test_period_two():
+    _check(np.tile(np.frombuffer(b"ab", np.uint8), 10_000))
+
+
+def test_routing(rng, monkeypatch):
+    """build_lcp_array routes big texts through the window path."""
+    from hpc_suffix_array_tpu.core.lcp import build_lcp_array
+
+    monkeypatch.setenv("SA_LCP_WINDOW_MIN", "10000")
+    text = rng.integers(0, 256, 30_000).astype(np.uint8)
+    sa = np.asarray(suffix_array_oracle(text.tobytes()))
+    lcp = np.asarray(build_lcp_array(text, sa))
+    assert np.array_equal(lcp, np.asarray(lcp_oracle(text, sa)))
