@@ -4,43 +4,57 @@ The prefix-doubling kernel (core/suffix_array.py) holds ~30 B of device
 state per input char during its pair sort, capping single-chip builds
 near 256 MB of the ~15.6 GiB usable v5e HBM (measured). This module
 covers the 1 GiB ladder config of BASELINE.md with an algorithm whose
-phases each stay under ~15 GB and whose programs avoid the two measured
-TPU sinkholes (see TODO.md "tunnel remote-compile economics"):
+phases each stay under ~15 GB and whose programs avoid three measured
+TPU sinkholes (TODO.md "tunnel remote-compile economics" + the r2
+compile-OOM postmortem):
 
   * scan ops (cummax/cumsum/associative_scan) and lax.map cost 10-60x a
     sort in remote compile — every program here is sort/slice/reduce/DUS;
-  * XLA gathers cost ~10 ns per gathered ELEMENT regardless of row shape
-    (measured: 1-elem rows 9.7 ns/el, 18-byte rows 10 ns/el), so the
-    design CARRIES sort keys through the data movement instead of
-    gathering windows per bucket — gathers touch only the tiny residue.
+  * XLA gathers cost ~10 ns per gathered ELEMENT regardless of row
+    shape, so the design CARRIES sort keys through the data movement
+    instead of gathering windows per bucket;
+  * masked read-modify-write on a donated buffer (read `cur`, select,
+    write back at dynamic offsets) defeats XLA's in-place aliasing — it
+    inserts a full-buffer copy (measured: a 4.06 GB HLO temp that OOMed
+    the 2^30 compile). Every slab write below is therefore UNMASKED
+    full-width, with layout gaps sized so the spilled tail is either
+    overwritten by the next writer or lands in dead space.
 
-**Carried-keys MSD bucket sort.**
+**Carried-keys MSD bucket sort (bucket-major, three passes).**
 
   1. *Plan (host)*: dense alphabet remap (core alphabet_remap) packs
      ``spw = 30//bits`` symbols per int32 word; each suffix gets two
-     words k0, k1 = its first 2*spw symbols (6 for bytes, 10 for
-     alnum, 20 for DNA after remap — sized so the expected number of
-     SA pairs still tied after 2*spw symbols stays within the bounded
-     residue for random-ish texts at 2^30: C(n,2)/sigma^(2*spw) is ~1
-     for alnum/bytes and ~5e5 spread over all buckets for DNA). Symbol
-     0 is
-     reserved for past-the-end so a shorter suffix that is a prefix of a
-     longer one orders first (the reference gets this from strcmp,
-     src/sequential/manber_myers.c:195). Bucket edges = quantiles of
-     sampled (k0,k1) pairs.
-  2. *Distribute (device, C chunk passes)*: compute k0,k1 by STREAMING
-     slices in position space (no gathers), bucket id by edge compare,
-     sort ``(bid, k0, k1, idx)`` per chunk, append to storage. Run
-     boundaries come back in ONE transfer.
-  3. *Bucket passes*: assemble each bucket's C runs, sort
-     ``(k0, k1, idx)``, write the sorted idx back into the bucket's own
-     storage slices (read-modify-write, so no second n-sized buffer is
-     live while the 12 B/char key storage still is).
-  4. *Assembly*: free the key storage, then concatenate the bucket runs
-     into the SA accumulator (streaming).
+     words k0, k1 = its first 2*spw symbols (6 for bytes, 10 for alnum,
+     20 for DNA — sized so the expected number of SA pairs still tied
+     after 2*spw symbols stays within the bounded residue for random-ish
+     texts at 2^30). Symbol 0 is reserved for past-the-end so a shorter
+     suffix that is a prefix of a longer one orders first (the reference
+     gets this from strcmp, src/sequential/manber_myers.c:195). Bucket
+     edges = quantiles of sampled (k0, k1) pairs.
+  2. *Count (device, ONE dispatch)*: per-chunk bucket histograms by
+     streaming pack + edge compare — no sort, no gather. The host then
+     lays out bucket-major slabs: bucket b's runs (one per chunk) sit
+     back-to-back at ``base[b]``, followed by a gap ``G_b`` that absorbs
+     write spill (below).
+  3. *Scatter (device, C chunk passes)*: sort each chunk by bucket id,
+     then write every run to its exact destination with one fixed-width
+     W window per (chunk, bucket). The W-window tail spills PAST the
+     run's true length — exactly onto the region the NEXT chunk's run
+     writes, so sequential chunk order heals every spill; the last
+     chunk's spill lands in the bucket's gap.
+  4. *Bucket passes*: each bucket is now contiguous — one dynamic slice,
+     one 3-key sort, and a write of the sorted order DIRECTLY to the
+     bucket's final SA offset ``out_base[b] = sum(fills[<b])``. Compact
+     writes are back-to-back ascending, each overwriting its
+     predecessor's padded spill, and the gap geometry guarantees no
+     write ever touches a not-yet-read key region. After the last
+     bucket, the idx slab's first n elements ARE the suffix array — no
+     assembly phase. The sort (reads slabs) and the write (donated
+     slabs, ZERO reads) are separate programs so in-place aliasing is
+     structurally safe.
   5. *Residue*: pairs still tied after 2*spw symbols are extracted
-     (device compaction sort, bounded), resolved by direct comparison on
-     the HOST (which has the text), and patched into the SA.
+     (bounded), resolved by direct comparison on the HOST (which has the
+     text), and patched into the SA at their (already global) slots.
   6. *Periodic chain mode*: when most of the text ties (globally
      periodic input, the reference's repetitive corpus family),
      re-running the bucket sort with a DESCENDING idx tiebreak is exact:
@@ -58,6 +72,7 @@ from __future__ import annotations
 
 import functools
 import math
+import time
 from dataclasses import dataclass, field
 
 import jax
@@ -71,8 +86,8 @@ from hpc_suffix_array_tpu.core.suffix_array import (
 PAD_KEY = jnp.int32(1) << 30     # > any 30-bit packed word
 RESIDUE_SLOTS = 1 << 15          # extracted tie pairs per bucket (fetch cap)
 HALO = 128                       # text halo: >= 3*spw + slack symbols
-MAX_PASS_ELEMS = 1 << 28         # padded elements one bucket pass may sort
-#   (~10 live int32 arrays during the 3-key sort -> ~10.7 GB at the cap;
+MAX_PASS_ELEMS = 1 << 28         # padded elements one bucket sort may hold
+#   (~8 live int32 arrays during the 3-key sort -> ~8.6 GB at the cap;
 #    beyond it one bucket dominates the text and this path can't help)
 
 
@@ -88,8 +103,7 @@ class BigPlan:
     remap: np.ndarray           # uint8 -> dense code (1..sigma), int32[256]
     e0: np.ndarray              # int32[E] edge k0 words
     e1: np.ndarray              # int32[E] edge k1 words
-    bounds: np.ndarray | None = None
-    counts: np.ndarray | None = None
+    counts: np.ndarray | None = None    # (C, NB) run lengths
     meta: dict = field(default_factory=dict)
 
     @property
@@ -134,183 +148,157 @@ def _dev_pack_word(codes_ext, offset: int, spw: int, bits: int, m: int):
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2),
-                   donate_argnums=(3, 4, 5))
-def _distribute_chunk(m: int, spw: int, bits: int, idxS, k0S, k1S,
-                      text_pad, remap_d, e0, e1, start, n):
-    """One chunk: carried-key distribute (see module docstring, step 2).
-
-    Writes the chunk's sorted run directly into the donated storage
-    slabs at offset ``start`` (the storage layout is position-aligned:
-    chunk c owns [c*m, (c+1)*m)) — a list-append + concatenate here
-    would double the 12 B/char storage at its peak, which is exactly
-    the HBM headroom the 1 GiB config does not have.
-    """
+def _chunk_keys_bid(m: int, spw: int, bits: int, text_pad, remap_d,
+                    e0, e1, start, n, static_start: int | None = None):
+    """(k0, k1, bid, pos) for one chunk (shared by count + scatter)."""
     E = e0.shape[0]
-    ext = lax.dynamic_slice(text_pad, (start,), (m + 2 * spw,))
+    if static_start is None:
+        ext = lax.dynamic_slice(text_pad, (start,), (m + 2 * spw,))
+    else:
+        ext = lax.slice(text_pad, (static_start,),
+                        (static_start + m + 2 * spw,))
     pos_ext = start + lax.iota(jnp.int32, m + 2 * spw)
     codes = jnp.where(pos_ext < n, remap_d[ext], 0)
     k0 = _dev_pack_word(codes, 0, spw, bits, m)
     k1 = _dev_pack_word(codes, spw, spw, bits, m)
-
     # (m, E) compare fuses into its row reduction (no m*E buffer).
     ge = (k0[:, None] > e0) | ((k0[:, None] == e0) & (k1[:, None] >= e1))
     bid = jnp.sum(ge.astype(jnp.int32), axis=1)
     pos = start + lax.iota(jnp.int32, m)
     bid = jnp.where(pos < n, bid, E + 1)      # trash bucket for pads
-    s_bid, s_k0, s_k1, s_idx = lax.sort(
-        (bid, k0, k1, pos), num_keys=1, is_stable=False)
-    bounds = jnp.searchsorted(s_bid, jnp.arange(E + 2, dtype=jnp.int32))
-    return (lax.dynamic_update_slice(idxS, s_idx, (start,)),
-            lax.dynamic_update_slice(k0S, s_k0, (start,)),
-            lax.dynamic_update_slice(k1S, s_k1, (start,)),
-            bounds.astype(jnp.int32))
+    return k0, k1, bid, pos
 
 
-def _assemble_runs(C: int, S: int, arrays, starts, counts, fills):
-    """Concatenate C fixed-size reads per array; mask = iota < counts[c].
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _count_chunks(C: int, m: int, spw: int, bits: int, text_pad, remap_d,
+                  e0, e1, n):
+    """(C, E+2) cumulative histogram cum[c, t] = #{bid >= t}, ONE dispatch.
 
-    Returns (list of assembled arrays, valid mask). ``fills`` supplies
-    the per-array pad value used outside the valid region.
+    Per-bucket run lengths follow on the host as cum[:, b] - cum[:, b+1].
+    Built from pack + compare + reduce only — no sort, no scatter, so it
+    is both cheap to run and cheap for the tunnel to compile.
     """
-    iota_s = lax.iota(jnp.int32, S)
-    outs = [[] for _ in arrays]
-    valid = []
+    E = e0.shape[0]
+    thr = jnp.arange(E + 2, dtype=jnp.int32)
+    rows = []
     for c in range(C):
-        ok = iota_s < counts[c]
-        valid.append(ok)
-        for a, (arr, fill) in enumerate(zip(arrays, fills)):
-            run = lax.dynamic_slice(arr, (starts[c],), (S,))
-            outs[a].append(jnp.where(ok, run, fill))
-    return [jnp.concatenate(o) for o in outs], jnp.concatenate(valid)
+        _k0, _k1, bid, _pos = _chunk_keys_bid(
+            m, spw, bits, text_pad, remap_d, e0, e1,
+            jnp.int32(c * m), n, static_start=c * m)
+        rows.append(jnp.sum((bid[:, None] >= thr).astype(jnp.int32), axis=0))
+    return jnp.stack(rows)
 
 
-def _bucket_sort_core(C: int, S: int, k0S, k1S, idxS, starts, counts, n,
-                      desc_idx: bool):
-    """Assemble + sort one bucket; returns (sorted k0,k1,idx, tie, n_real)."""
-    (k0, k1, idx), valid = _assemble_runs(
-        C, S, (k0S, k1S, idxS), starts, counts,
-        ((PAD_KEY, PAD_KEY, n)))
-    k0 = jnp.where(valid, k0, PAD_KEY)
-    tiebreak = (n - idx) if desc_idx else idx
-    sk0, sk1, st = lax.sort((k0, k1, tiebreak), num_keys=3)
-    s_idx = (n - st) if desc_idx else st
-    real = s_idx < n
-    tie = (sk0 == jnp.concatenate([sk0[:1], sk0[:-1]])) & \
-          (sk1 == jnp.concatenate([sk1[:1], sk1[:-1]])) & \
-          real & jnp.concatenate([real[:1], real[:-1]])
-    tie = tie.at[0].set(False)
-    return sk0, sk1, s_idx, tie, jnp.sum(real.astype(jnp.int32))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                   donate_argnums=(4, 5, 6))
+def _scatter_chunk(m: int, spw: int, bits: int, W: int, k0B, k1B, idxB,
+                   text_pad, remap_d, e0, e1, dest, start, n):
+    """Distribute one chunk into the bucket-major slabs (spill-forward).
 
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(4, 5))
-def _bucket_pass(C: int, S: int, desc_idx: bool, k0S, k1S, idxS,
-                 starts, counts, n):
-    """Sort one bucket; write the order back into its own storage runs
-    (read-modify-write on idxS) and the tie flags into the bucket's own
-    k1S regions — the keys there are dead the moment this pass consumed
-    them, and reusing their storage saves an n-sized flag buffer the
-    1 GiB config cannot afford. The flags are aligned with the
-    written-back order (the key columns do NOT follow the write-back,
-    so any later tie processing must use these flags, via
-    ``_extract_ties``). For desc_idx=True (chain mode) additionally
-    checks chain-delta uniformity.
-
-    Returns (idxS, k1S, tie_count, d, delta_ok)."""
-    _sk0, _sk1, s_idx, tie, _n_real = _bucket_sort_core(
-        C, S, k0S, k1S, idxS, starts, counts, n, desc_idx)
-
-    prev_idx = jnp.concatenate([s_idx[:1], s_idx[:-1]])
-    delta = jnp.where(tie, (prev_idx - s_idx) if desc_idx
-                      else (s_idx - prev_idx), 0)
-    big = jnp.int32(1) << 30
-    dmax = jnp.max(jnp.where(tie, delta, 0))
-    dmin = jnp.min(jnp.where(tie, delta, big))
-    delta_ok = (~jnp.any(tie)) | ((dmin == dmax) & (dmax >= 1))
-
-    # Write back: run c receives s_idx[off_c : off_c + counts[c]].
-    iota_s = lax.iota(jnp.int32, S)
-    tie32 = tie.astype(jnp.int32)
-    off = jnp.int32(0)
-    for c in range(C):
-        win = lax.dynamic_slice(s_idx, (off,), (S,))
-        cur = lax.dynamic_slice(idxS, (starts[c],), (S,))
-        ok = iota_s < counts[c]
-        idxS = lax.dynamic_update_slice(
-            idxS, jnp.where(ok, win, cur), (starts[c],))
-        fwin = lax.dynamic_slice(tie32, (off,), (S,))
-        fcur = lax.dynamic_slice(k1S, (starts[c],), (S,))
-        k1S = lax.dynamic_update_slice(
-            k1S, jnp.where(ok, fwin, fcur), (starts[c],))
-        off = off + counts[c]
-    return idxS, k1S, jnp.sum(tie.astype(jnp.int32)), dmax, \
-        delta_ok.astype(jnp.int32)
+    ``dest[b]`` is THIS chunk's run destination for bucket b. Each run is
+    written as one unmasked W-wide window; the tail past the run's true
+    length spills onto the next chunk's destination (healed by chunk
+    order) or the bucket gap. The donated slabs are never READ here, so
+    XLA aliases them in place with no copy.
+    """
+    E = e0.shape[0]
+    NB = dest.shape[0]
+    k0, k1, bid, pos = _chunk_keys_bid(
+        m, spw, bits, text_pad, remap_d, e0, e1, start, n)
+    # Sort width m + W so run reads never hit the clamp of dynamic_slice.
+    padk = jnp.full((W,), PAD_KEY, jnp.int32)
+    padb = jnp.full((W,), E + 1, jnp.int32)
+    s_bid, s_k0, s_k1, s_idx = lax.sort(
+        (jnp.concatenate([bid, padb]), jnp.concatenate([k0, padk]),
+         jnp.concatenate([k1, padk]), jnp.concatenate([pos, padk])),
+        num_keys=1, is_stable=False)
+    bnd = jnp.searchsorted(
+        s_bid, jnp.arange(NB, dtype=jnp.int32)).astype(jnp.int32)
+    for b in range(NB):
+        k0B = lax.dynamic_update_slice(
+            k0B, lax.dynamic_slice(s_k0, (bnd[b],), (W,)), (dest[b],))
+        k1B = lax.dynamic_update_slice(
+            k1B, lax.dynamic_slice(s_k1, (bnd[b],), (W,)), (dest[b],))
+        idxB = lax.dynamic_update_slice(
+            idxB, lax.dynamic_slice(s_idx, (bnd[b],), (W,)), (dest[b],))
+    return k0B, k1B, idxB
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _extract_ties(C: int, S: int, flagS, idxS, starts, counts, n):
-    """Compact one bucket's tied elements to (slot, idx) pairs.
+def _bucket_sort(S: int, desc_idx: bool, k0B, k1B, idxB, base, n_b, n):
+    """Sort one contiguous bucket (reads slabs, writes nothing).
 
-    Reads the written-back order (idxS) and its tie flags (``flagS`` =
-    the k1S storage after ``_bucket_pass`` overwrote the bucket's dead
-    key regions with 0/1 flags). A tie GROUP contributes all its members
-    (the flag marks the later element of each tied pair; heads join via
-    the successor's flag). ``slot`` is the element's rank among the
-    bucket's real elements — closed form off_c + j per run, no scan.
-    Returns fixed RESIDUE_SLOTS pairs (-1-padded slots) + the true
-    member count.
+    Returns (sorted idx, tie flags int32, tie count, max tie delta,
+    delta-uniformity flag). Pads (iota >= n_b) get PAD keys and sort to
+    the end, so the first n_b outputs are the bucket's true order.
     """
-    iota_s = lax.iota(jnp.int32, S)
     big = jnp.int32(1) << 30
-    fs, ids, sls = [], [], []
-    off = jnp.int32(0)
-    for c in range(C):
-        ok = iota_s < counts[c]
-        fs.append(jnp.where(
-            ok, lax.dynamic_slice(flagS, (starts[c],), (S,)), 0))
-        ids.append(jnp.where(
-            ok, lax.dynamic_slice(idxS, (starts[c],), (S,)), n))
-        sls.append(jnp.where(ok, off + iota_s, big))
-        off = off + counts[c]
-    f = jnp.concatenate(fs).astype(jnp.int32)
-    ix = jnp.concatenate(ids)
-    sl = jnp.concatenate(sls)
-
-    # Compact real-first in bucket order, then mark members.
-    sl2, f2, ix2 = lax.sort((sl, f, ix), num_keys=1)
-    tied = f2 > 0
-    member = tied | jnp.concatenate([tied[1:], tied[:1]])
-    keyed = jnp.where(member & (sl2 < big), sl2, big)
-    o_slot, o_idx = lax.sort((keyed, ix2), num_keys=1)
-    k = min(RESIDUE_SLOTS, C * S)
-    out_slot = jnp.where(o_slot[:k] < big, o_slot[:k], -1)
-    return out_slot, o_idx[:k], jnp.sum(
-        (member & (sl2 < big)).astype(jnp.int32))
+    iota = lax.iota(jnp.int32, S)
+    ok = iota < n_b
+    k0 = jnp.where(ok, lax.dynamic_slice(k0B, (base,), (S,)), PAD_KEY)
+    k1 = jnp.where(ok, lax.dynamic_slice(k1B, (base,), (S,)), PAD_KEY)
+    idx = lax.dynamic_slice(idxB, (base,), (S,))
+    tb = jnp.where(ok, (n - idx) if desc_idx else idx, big)
+    sk0, sk1, st = lax.sort((k0, k1, tb), num_keys=3)
+    s_idx = (n - st) if desc_idx else st
+    real = iota < n_b                         # valid sorted first
+    tie = (sk0 == jnp.concatenate([sk0[:1], sk0[:-1]])) & \
+          (sk1 == jnp.concatenate([sk1[:1], sk1[:-1]])) & real
+    tie = tie.at[0].set(False)
+    prev_idx = jnp.concatenate([s_idx[:1], s_idx[:-1]])
+    delta = jnp.where(tie, (prev_idx - s_idx) if desc_idx
+                      else (s_idx - prev_idx), 0)
+    dmax = jnp.max(jnp.where(tie, delta, 0))
+    dmin = jnp.min(jnp.where(tie, delta, big))
+    delta_ok = (~jnp.any(tie)) | ((dmin == dmax) & (dmax >= 1))
+    return (s_idx, tie.astype(jnp.int32), jnp.sum(tie.astype(jnp.int32)),
+            dmax, delta_ok.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
-def _assemble_bucket(C: int, S: int, idxS, sa_acc, starts, counts, base):
-    """Concatenate one bucket's (already sorted) runs into sa_acc at base
-    (read-modify-write so later buckets never clobber earlier ones)."""
-    (vals,), valid = _assemble_runs(
-        C, S, (idxS,), starts, counts, ((0,)))
-    # compact: valid-first stable by position
-    P = C * S
-    keyed = jnp.where(valid, lax.iota(jnp.int32, P), jnp.int32(P))
-    _k, compact = lax.sort((keyed, vals), num_keys=1)
-    n_real = jnp.sum(valid.astype(jnp.int32))
-    cur = lax.dynamic_slice(sa_acc, (base,), (P,))
-    merged = jnp.where(lax.iota(jnp.int32, P) < n_real, compact, cur)
-    return lax.dynamic_update_slice(sa_acc, merged, (base,))
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+def _bucket_write(S: int, idxB, k1B, s_idx, tie32, out_base):
+    """Write one bucket's sorted order + tie flags at its final offset.
+
+    idxB receives the compact SA block at out_base (back-to-back with
+    its neighbors — after the last bucket idxB[:n] IS the suffix array);
+    k1B's dead key storage receives the aligned tie flags. ZERO reads of
+    the donated operands, so aliasing is structurally copy-free.
+    """
+    return (lax.dynamic_update_slice(idxB, s_idx, (out_base,)),
+            lax.dynamic_update_slice(k1B, tie32, (out_base,)))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _extract_ties(S: int, flagB, idxB, out_base, n_b):
+    """Compact one bucket's tied elements to (global SA slot, idx) pairs.
+
+    Reads the final order (idxB) and its flags (k1B storage after
+    ``_bucket_write``). A tie GROUP contributes all its members (the
+    flag marks the later element of each tied pair; heads join via the
+    successor's flag). Returns fixed RESIDUE_SLOTS pairs (-1-padded
+    slots) + the true member count.
+    """
+    big = jnp.int32(1) << 30
+    j = lax.iota(jnp.int32, S)
+    ok = j < n_b
+    f = jnp.where(ok, lax.dynamic_slice(flagB, (out_base,), (S,)), 0)
+    ix = jnp.where(ok, lax.dynamic_slice(idxB, (out_base,), (S,)), 0)
+    tied = f > 0
+    member = (tied | jnp.concatenate([tied[1:], tied[:1]])) & ok
+    keyed = jnp.where(member, j, big)
+    o_slot, o_idx = lax.sort((keyed, ix), num_keys=1)
+    k = min(RESIDUE_SLOTS, S)
+    out_slot = jnp.where(o_slot[:k] < big, out_base + o_slot[:k], -1)
+    return out_slot, o_idx[:k], jnp.sum(member.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _apply_patch(sa_acc, slots, vals):
+def _apply_patch(sa, slots, vals):
     """Scatter host-resolved residue orderings back into the SA."""
     ok = slots >= 0
     safe = jnp.where(ok, slots, 0)
-    cur = sa_acc[safe]
-    return sa_acc.at[safe].set(jnp.where(ok, vals, cur))
+    cur = sa[safe]
+    return sa.at[safe].set(jnp.where(ok, vals, cur))
 
 
 @jax.jit
@@ -370,9 +358,9 @@ def prepare_big(text, *, target_bucket: int = 1 << 24,
     if n < 8:
         raise ValueError("bigsort needs n >= 8; use build_suffix_array")
     if chunk_elems is None:
-        # Above ~0.5 GiB the distribute-sort temporaries (~9 int32
-        # arrays of m) must shrink so storage + text + temporaries stay
-        # under the ~15.6 GiB usable v5e HBM (measured).
+        # Above ~0.5 GiB the scatter-sort temporaries (~9 int32 arrays
+        # of m) must shrink so slabs + text + temporaries stay under the
+        # ~15.6 GiB usable v5e HBM (measured).
         chunk_elems = 1 << 24 if n > 1 << 29 else 1 << 25
     m = bucket_size(min(chunk_elems, n))
     n_chunks = -(-n // m)
@@ -435,13 +423,13 @@ def _resolve_residue_host(arr: np.ndarray, slots: np.ndarray,
 
 def execute_big(state, *, max_bucket_elems: int | None = None,
                 force_chain_mode: bool | None = None) -> jnp.ndarray:
-    """Run distribute + bucket passes; returns the SA (device int32[n]).
+    """Run count + scatter + bucket passes; returns the SA (device int32[n]).
 
     Chain mode (descending tiebreak for globally periodic texts) is
-    chosen up front from the host repeat estimate — the bucket sort's
-    write-back invalidates the key<->idx pairing, so the direction
-    cannot be switched after the fact without redistributing (the
-    misprediction fallback below does exactly that, once).
+    chosen up front from the host repeat estimate — the compact output
+    write consumes the slabs, so the direction cannot be switched after
+    the fact without redistributing (the misprediction fallbacks below
+    do exactly that, once).
     """
     plan: BigPlan = state["plan"]
     text_pad = state["text_pad"]
@@ -450,80 +438,92 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
     e0 = jnp.asarray(plan.e0)
     e1 = jnp.asarray(plan.e1)
     NB = plan.n_buckets
+    _stamps = [("start", time.perf_counter())]
 
-    # --- phase 1: distribute -----------------------------------------
-    # Storage slabs are preallocated and DONATED through every chunk
-    # call: peak device memory stays at 12 B/char storage + text +
-    # one chunk's sort temporaries (~14.8 GB at 2^30 with 2^24 chunks) —
-    # a list-append + concatenate assembly would peak ~5 GB higher.
-    # The (C+1)-th slab run stays at its init values (idx=n, PAD_KEY)
-    # and provides the tail slack for fixed-width S_uni run reads.
-    total = (C + 1) * m
-    idxS = jnp.full((total,), n, jnp.int32)
-    k0S = jnp.full((total,), PAD_KEY, jnp.int32)
-    k1S = jnp.full((total,), PAD_KEY, jnp.int32)
-    bounds = []
-    for c in range(C):
-        idxS, k0S, k1S, bnd = _distribute_chunk(
-            m, plan.spw, plan.bits, idxS, k0S, k1S, text_pad, remap_d,
-            e0, e1, jnp.int32(c * m), jnp.int32(n))
-        bounds.append(bnd)
-    bounds = np.asarray(jax.device_get(jnp.stack(bounds)))   # ONE sync
-    plan.bounds = bounds
-    counts = (bounds[:, 1:NB + 1] - bounds[:, :NB]).astype(np.int64)
+    # --- pass A: count ------------------------------------------------
+    cum = np.asarray(jax.device_get(_count_chunks(
+        C, m, plan.spw, plan.bits, text_pad, remap_d, e0, e1,
+        jnp.int32(n))))
+    counts = (cum[:, :NB] - cum[:, 1:NB + 1]).astype(np.int64)   # (C, NB)
     plan.counts = counts
     fills = counts.sum(axis=0)
     assert fills.sum() == n, (fills.sum(), n)
+    _stamps.append(("count", time.perf_counter()))
 
-    def bucket_args(b):
-        starts = jnp.asarray(
-            (np.arange(C) * m + bounds[:, b]).astype(np.int32))
-        cnt = jnp.asarray(counts[:, b].astype(np.int32))
-        return starts, cnt
-
-    # --- phase 2: bucket sorts (write back into idxS) ------------------
     chain_mode = force_chain_mode
     if chain_mode is None:
         chain_mode = plan.meta.get("est_repeat", 0) > 2 * plan.spw
-    # One run width for EVERY bucket: each distinct S is a distinct
-    # compiled program, and big-shape first-executions cost minutes
-    # through the tunnel (TODO.md) - uniform padding (<~15% waste for
-    # sampled-balanced buckets) buys one compile per phase instead.
-    S_uni = bucket_size(int(counts.max()))
+
+    # --- host layout ---------------------------------------------------
+    # Geometry invariants (all writes are unmasked fixed-width):
+    #   scatter run write:  dest[c][b] + W  <= base[b+1]   (G_b >= W)
+    #   compact out write:  out_base[b] + S_b <= base[b+1]
+    #       <=> S_b - fills[b] <= sum_{b'<=b} G_b'  (G_0 >= max slack)
+    W = int(bucket_size(int(counts.max())))
+    live = [b for b in range(NB) if fills[b]]
+    S_of = {b: bucket_size(int(fills[b])) for b in live}
     cap = max_bucket_elems or MAX_PASS_ELEMS
-    if C * S_uni > cap:
+    if live and max(S_of.values()) > cap:
         raise NotImplementedError(
-            f"bucket skew: one bucket pass would sort {C * S_uni} "
-            f"padded elements (largest bucket {int(fills.max())}, n={n});"
-            " the text's prefix distribution is too degenerate for the "
-            "out-of-core path - use the doubling kernel (<=256 MB) or "
-            "the sharded multi-chip build")
-    live = [(b, S_uni) for b in range(NB) if fills[b]]
+            f"bucket skew: one bucket holds {int(fills.max())} of n={n} "
+            "elements; the text's prefix distribution is too degenerate "
+            "for the out-of-core path - use the doubling kernel "
+            "(<=256 MB) or the sharded multi-chip build")
+    slack = max((S_of[b] - int(fills[b]) for b in live), default=0)
+    gaps = [max(W, slack)] + [W] * (NB - 1)
+    base = np.zeros(NB + 1, np.int64)
+    out_base = np.zeros(NB, np.int64)
+    acc = out = 0
+    for b in range(NB):
+        base[b] = acc
+        out_base[b] = out
+        acc += int(fills[b]) + gaps[b]
+        out += int(fills[b])
+    base[NB] = acc
+    slab_len = max(int(acc),
+                   max((int(base[b]) + S_of[b] for b in live), default=0))
+    dest = base[None, :NB] + np.concatenate(
+        [np.zeros((1, NB), np.int64), counts.cumsum(axis=0)[:-1]])  # (C, NB)
+
+    # --- pass B: scatter into bucket-major slabs ------------------------
+    idxB = jnp.zeros((slab_len,), jnp.int32)
+    k0B = jnp.zeros((slab_len,), jnp.int32)
+    k1B = jnp.zeros((slab_len,), jnp.int32)
+    for c in range(C):
+        k0B, k1B, idxB = _scatter_chunk(
+            m, plan.spw, plan.bits, W, k0B, k1B, idxB, text_pad, remap_d,
+            e0, e1, jnp.asarray(dest[c].astype(np.int32)),
+            jnp.int32(c * m), jnp.int32(n))
+    _ = jax.device_get(idxB[0])                              # fence
+    _stamps.append(("scatter", time.perf_counter()))
+
+    # --- pass C: per-bucket sort + compact write ------------------------
     pend = []
-    dvals, doks = [], []
-    for b, S in live:
-        starts, cnt = bucket_args(b)
-        idxS, k1S, ties, d, dok = _bucket_pass(
-            C, S, chain_mode, k0S, k1S, idxS, starts, cnt,
-            jnp.int32(n))
-        pend.append((b, S, ties))
-        dvals.append(d)
-        doks.append(dok)
+    for b in live:
+        s_idx, tie32, ties, d, dok = _bucket_sort(
+            S_of[b], chain_mode, k0B, k1B, idxB, jnp.int32(base[b]),
+            jnp.int32(fills[b]), jnp.int32(n))
+        idxB, k1B = _bucket_write(
+            S_of[b], idxB, k1B, s_idx, tie32, jnp.int32(out_base[b]))
+        pend.append((b, ties, d, dok))
     tie_counts = np.asarray(jax.device_get(
-        jnp.stack([t for _, _, t in pend])))                 # ONE sync
+        jnp.stack([t for _, t, _, _ in pend])))              # ONE sync
+    _stamps.append(("bucket_sorts", time.perf_counter()))
 
     verified: set[int] = set()
     if chain_mode:
-        dvals = np.asarray(jax.device_get(jnp.stack(dvals)))
-        doks = np.asarray(jax.device_get(jnp.stack(doks)))
-        for (b, S, _), tc, d, dok in zip(pend, tie_counts, dvals, doks):
+        dvals = np.asarray(jax.device_get(
+            jnp.stack([d for _, _, d, _ in pend])))
+        doks = np.asarray(jax.device_get(
+            jnp.stack([k for _, _, _, k in pend])))
+        for (b, _, _, _), tc, d, dok in zip(pend, tie_counts, dvals, doks):
             if tc == 0:
                 continue
             if not int(dok):
                 if force_chain_mode is None and tie_counts.sum() <= n // 4:
                     # Few irregular ties: the ascending + host-residue
                     # path handles this; chain mode was a misprediction.
-                    del idxS, k0S, k1S      # free before re-running
+                    del idxB, k0B, k1B      # free before re-running
                     return execute_big(
                         state, max_bucket_elems=max_bucket_elems,
                         force_chain_mode=False)
@@ -543,21 +543,21 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
                 verified.add(d)
     elif tie_counts.sum() > n // 4:
         # Misprediction (heavily tied text ran ascending): redistribute
-        # once in chain mode — the write-back already consumed the
-        # key<->idx pairing, so phases must restart.
-        del idxS, k0S, k1S                  # free before re-running
+        # once in chain mode — the compact write already consumed the
+        # slabs, so the passes must restart.
+        del idxB, k0B, k1B                  # free before re-running
         return execute_big(state, max_bucket_elems=max_bucket_elems,
                            force_chain_mode=True)
 
-    # --- residue extraction ---------------------------------------------
-    patches = []    # (bucket, slots-within-bucket, idx) for host resolve
+    # --- residue extraction (slots are global SA positions) -------------
+    patches = []
     if not chain_mode:
-        for (b, S, _), tc in zip(pend, tie_counts):
+        for (b, _, _, _), tc in zip(pend, tie_counts):
             if tc == 0:
                 continue
-            starts, cnt = bucket_args(b)
             slots_d, idx_d, total = _extract_ties(
-                C, S, k1S, idxS, starts, cnt, jnp.int32(n))
+                S_of[b], k1B, idxB, jnp.int32(out_base[b]),
+                jnp.int32(fills[b]))
             total = int(jax.device_get(total))
             if total > RESIDUE_SLOTS:
                 raise NotImplementedError(
@@ -567,31 +567,20 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
             slots = np.asarray(jax.device_get(slots_d))[:total]
             idxs = np.asarray(jax.device_get(idx_d))[:total]
             patches.append((b, slots, idxs))
+    _stamps.append(("residue_extract", time.perf_counter()))
 
-    # --- phase 3: free keys + flags, assemble SA ------------------------
-    del k0S, k1S
-    # Tail slack covers the last bucket's full padded assembly window
-    # (base <= n and each _assemble_bucket writes C * S_uni elements).
-    sa_acc = jnp.zeros(n + C * S_uni, jnp.int32)
-    base = 0
-    bases = {}
-    for b, S in live:
-        starts, cnt = bucket_args(b)
-        sa_acc = _assemble_bucket(C, S, idxS, sa_acc, starts, cnt,
-                                  jnp.int32(base))
-        bases[b] = base
-        base += int(fills[b])
-    del idxS
-
-    # --- apply host-resolved residue ------------------------------------
+    # --- finish: idxB[:n] IS the SA; apply host-resolved residue --------
+    del k0B, k1B
+    sa = idxB[:n]
+    del idxB
     if patches:
         arr = state["host_text"]
         all_slots, all_vals = [], []
-        for b, slots, idxs in patches:
+        for _b, slots, idxs in patches:
             if not len(slots):
                 continue
             s_sorted, fixed = _resolve_residue_host(arr, slots, idxs, n)
-            all_slots.append(s_sorted.astype(np.int64) + bases[b])
+            all_slots.append(s_sorted.astype(np.int64))
             all_vals.append(fixed)
         if all_slots:
             slots = np.concatenate(all_slots)
@@ -601,14 +590,19 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
             pv = np.zeros(k, np.int32)
             ps[:len(slots)] = slots
             pv[:len(slots)] = vals
-            sa_acc = _apply_patch(sa_acc, jnp.asarray(ps), jnp.asarray(pv))
+            sa = _apply_patch(sa, jnp.asarray(ps), jnp.asarray(pv))
 
     plan.meta["n_buckets_run"] = len(live)
     plan.meta["chain_mode"] = chain_mode
     plan.meta["periods"] = sorted(verified)
     plan.meta["n_patched"] = int(sum(len(s) for _, s, _ in patches)) \
         if patches else 0
-    return sa_acc[:n]
+    # The final bucket writes + patch run async; their tail is attributed
+    # by the caller's fence. Durations between the recorded sync points:
+    plan.meta["phase_host_s"] = {
+        name: round(t1 - t0, 3)
+        for (_, t0), (name, t1) in zip(_stamps, _stamps[1:])}
+    return sa
 
 
 def build_suffix_array_big(text, **kw) -> jnp.ndarray:
