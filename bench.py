@@ -31,45 +31,72 @@ import numpy as np
 REPO = pathlib.Path(__file__).resolve().parent
 REF = pathlib.Path("/root/reference")
 
+sys.path.insert(0, str(REPO))
+from hpc_suffix_array_tpu.utils.hostmem import (  # noqa: E402
+    disable_hugepage_madvise, keep_host_memory_hot)
 
-def _bench_text(n: int) -> np.ndarray:
+# VM-class host-memory workarounds (see utils/hostmem.py; numpy is
+# pre-imported by the session sitecustomize, so the env var
+# NUMPY_MADVISE_HUGEPAGE would be too late).
+disable_hugepage_madvise()
+keep_host_memory_hot()
+
+
+def _bench_text(n: int, out: np.ndarray | None = None) -> np.ndarray:
     """Random alnum corpus, the reference generator's main family
     (scripts/generate_large_datasets.py:12-14).
 
-    The uint8 cast before np.take keeps the output bit-identical to the
-    naive fancy-index while generating ~3x faster (measured; matters at
-    the 1 GiB default)."""
+    Generated in 16 MiB chunks straight into one uint8 buffer: a single
+    ``rng.integers(0, 62, n)`` call materializes an n x 8 B int64 temp
+    (8.6 GB at the 1 GiB default) whose cold-page faults cost minutes on
+    this VM class (utils/hostmem.py) — peak extra footprint here is one
+    chunk. Deterministic for a given n (fixed seed + fixed chunking).
+    ``out`` lets the caller aim the bytes at a preallocated (e.g.
+    padded staging) buffer and skip a second 1 GiB copy."""
     rng = np.random.default_rng(0xBEEF)
     alnum = np.frombuffer(
         b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
         dtype=np.uint8)
-    return np.take(alnum, rng.integers(0, len(alnum), n).astype(np.uint8))
+    if out is None:
+        out = np.empty(n, np.uint8)
+    step = 1 << 24
+    for i in range(0, n, step):
+        m = min(step, n - i)
+        out[i:i + m] = alnum[rng.integers(0, len(alnum), m).astype(np.uint8)]
+    return out[:n] if out.shape[0] != n else out
 
 
 def measure_tpu(n: int, reps: int) -> float:
     """Best-of-reps seconds for a full suffix-array build of n bytes.
 
-    The text is staged on the device once (a production index server keeps
-    its corpus device-resident); the timed region is the build itself,
-    fenced by a device_get of the final element (`block_until_ready` is
-    not a reliable fence through the TPU tunnel). Texts above
-    SA_BIG_THRESHOLD use the out-of-core MSD path (core/bigsort.py) whose
-    host-side planning is part of the timed region — only the text
-    staging is excluded, same policy as the doubling path.
+    The corpus is twin-generated (utils/twin.py): born device-resident
+    (a production index server keeps its corpus in HBM) with a
+    bit-identical host mirror for the planning machinery. The timed
+    region is the build itself, fenced by a device_get of the final
+    element (`block_until_ready` is not a reliable fence through the TPU
+    tunnel). Texts above SA_BIG_THRESHOLD use the out-of-core MSD path
+    (core/bigsort.py) whose host-side planning — including the per-rep
+    edge re-sampling — is part of the timed region; only corpus
+    generation is excluded, same policy as the doubling path.
     """
     import jax
     import jax.numpy as jnp
 
     from hpc_suffix_array_tpu.core.suffix_array import (
         alphabet_remap, bucket_size, suffix_array_from_bytes_kernel)
-
-    text = _bench_text(n)
+    from hpc_suffix_array_tpu.utils.twin import twin_corpus
 
     if n > int(os.environ.get("SA_BIG_THRESHOLD", 1 << 28)):
         from hpc_suffix_array_tpu.core.bigsort import (
-            execute_big, prepare_big, sample_edges)
+            chunk_geometry, execute_big, prepare_big, sample_edges)
 
-        state = prepare_big(text)                      # staging (untimed)
+        # Twin generation: the corpus is born in HBM and mirrored on the
+        # host by the same program on the CPU backend — nothing crosses
+        # the host<->device link (see utils/twin.py for why staging a
+        # real 1 GiB buffer is pathological on this VM class).
+        _, _, pad_len = chunk_geometry(n)
+        text, text_dev = twin_corpus(n, pad_len)
+        state = prepare_big(text, text_dev=text_dev)   # plan (untimed)
         sa = execute_big(dict(state))                  # warmup/compile
         jax.device_get(sa[-1])
         del sa
@@ -88,9 +115,7 @@ def measure_tpu(n: int, reps: int) -> float:
         return best, {"path": "msd_bigsort",
                       "buckets": state["plan"].meta.get("n_buckets_run")}
     n_pad = bucket_size(n)
-    host = np.zeros(n_pad, np.uint8)
-    host[:n] = text
-    text_pad = jnp.asarray(host)
+    text, text_pad = twin_corpus(n, n_pad)
     remap, bits, h0 = alphabet_remap(text)
     args = (text_pad, jnp.asarray(remap), bits, h0, jnp.int32(n))
 
@@ -148,6 +173,18 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    # The session sitecustomize pre-imports jax with the platform pinned
+    # before env vars can apply, so honor JAX_PLATFORMS explicitly (the
+    # contract test runs this script with JAX_PLATFORMS=cpu). On the TPU,
+    # expose the CPU backend alongside: the twin corpus generator
+    # (utils/twin.py) needs both.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    try:
+        jax.config.update("jax_platforms", env_platforms or "axon,cpu")
+        jax.devices()
+    except Exception:
+        jax.config.update("jax_platforms", "cpu")
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     # BASELINE.md's primary metric is bytes/sec/chip on 1 GiB text —
@@ -231,23 +268,25 @@ def main() -> None:
                 }), file=sys.stderr)
 
             # LCP throughput at benchmark scale (the reference's contract
-            # always measures LCP_TIME, main_sequential.c:41-49). Window
-            # path (core/lcp_window.py); warmup rep pays the compiles.
+            # always measures LCP_TIME, main_sequential.c:41-49). Sorted-
+            # fetch path (core/lcp_window.build_lcp_array_sorted); warmup
+            # rep pays the compiles.
             nl = min(n, 1 << 26)
             from hpc_suffix_array_tpu.core.lcp_window import (
-                build_lcp_array_window, prepare_lcp)
-            from hpc_suffix_array_tpu.core.suffix_array import (
-                build_suffix_array)
+                build_lcp_array_sorted, prepare_lcp_sorted)
+            from hpc_suffix_array_tpu.utils.twin import twin_corpus
 
-            arr = _bench_text(nl)
-            sa = build_suffix_array(arr)
+            arr, text_pad = twin_corpus(nl, bucket_size(nl))
+            remap_l, bits_l, h0_l = alphabet_remap(arr)
+            sa, _r, _rounds = suffix_array_from_bytes_kernel(
+                text_pad, jnp.asarray(remap_l), bits_l, h0_l, jnp.int32(nl))
             jax.device_get(sa[-1])
-            lstate = prepare_lcp(arr)
-            lcp = build_lcp_array_window(arr, sa, lstate)     # warmup
+            lstate = prepare_lcp_sorted(arr, text_pad_dev=text_pad)
+            lcp = build_lcp_array_sorted(arr, sa, lstate)     # warmup
             jax.device_get(lcp[-1])
             del lcp
             t0 = time.perf_counter()
-            lcp = build_lcp_array_window(arr, sa, lstate)
+            lcp = build_lcp_array_sorted(arr, sa, lstate)
             jax.device_get(lcp[-1])
             dt = time.perf_counter() - t0
             print(json.dumps({

@@ -13,6 +13,15 @@ program: the same jitted doubling driver runs on one chip or a multi-device
 ``jax.sharding.Mesh``, differing only in the mesh.
 """
 
+from hpc_suffix_array_tpu.utils.hostmem import (
+    disable_hugepage_madvise, keep_host_memory_hot)
+
+# VM-class host-memory workarounds (utils/hostmem.py): THP faults are
+# ~60x slower than base pages here, and memory released to the kernel
+# is unbacked by the hypervisor (~840 us to re-fault each 4 KiB page).
+disable_hugepage_madvise()
+keep_host_memory_hot()
+
 from hpc_suffix_array_tpu.core.suffix_array import (
     SuffixArray,
     build_suffix_array,

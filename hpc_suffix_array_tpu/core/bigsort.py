@@ -356,13 +356,14 @@ def carried_depth_syms(sigma: int) -> int:
     return 2 * (30 // bits)
 
 
-def prepare_big(text, *, target_bucket: int = 1 << 24,
-                chunk_elems: int | None = None, sample: int = 1 << 21):
-    """Stage the text on device and build the host plan (untimed setup)."""
-    arr = as_byte_array(text)
-    n = int(arr.shape[0])
-    if n < 8:
-        raise ValueError("bigsort needs n >= 8; use build_suffix_array")
+def chunk_geometry(n: int, chunk_elems: int | None = None
+                   ) -> tuple[int, int, int]:
+    """(m, n_chunks, padded_text_len) for an n-byte bigsort.
+
+    Exposed so callers that already hold a device-resident text (e.g.
+    bench.py's twin-generated corpus) can size it to the exact padded
+    shape ``prepare_big`` expects and skip staging entirely.
+    """
     if chunk_elems is None:
         # Above ~0.5 GiB the scatter-sort temporaries (~9 int32 arrays
         # of m) must shrink so slabs + text + temporaries stay under the
@@ -370,16 +371,42 @@ def prepare_big(text, *, target_bucket: int = 1 << 24,
         chunk_elems = 1 << 24 if n > 1 << 29 else 1 << 25
     m = bucket_size(min(chunk_elems, n))
     n_chunks = -(-n // m)
+    return m, n_chunks, n_chunks * m + HALO
+
+
+def prepare_big(text, *, target_bucket: int = 1 << 24,
+                chunk_elems: int | None = None, sample: int = 1 << 21,
+                text_dev=None):
+    """Stage the text on device and build the host plan (untimed setup).
+
+    ``text_dev``: optional pre-staged device copy of the text, padded to
+    ``chunk_geometry(n, chunk_elems)[2]`` with zeros past n (skips the
+    host->device transfer; the host ``text`` must hold the same bytes —
+    it feeds edge sampling and residue resolution).
+    """
+    arr = as_byte_array(text)
+    n = int(arr.shape[0])
+    if n < 8:
+        raise ValueError("bigsort needs n >= 8; use build_suffix_array")
+    m, n_chunks, pad_len = chunk_geometry(n, chunk_elems)
     remap, bits, spw = alphabet_remap(arr)
     e0, e1 = sample_edges(arr, remap, spw, bits, target_bucket,
                           sample=sample)
-    host = np.zeros(n_chunks * m + HALO, np.uint8)
-    host[:n] = arr
+    if text_dev is None:
+        from hpc_suffix_array_tpu.utils.staging import stage_to_device
+
+        host = np.zeros(pad_len, np.uint8)
+        host[:n] = arr
+        text_dev = stage_to_device(host)
+    elif tuple(text_dev.shape) != (pad_len,):
+        raise ValueError(
+            f"text_dev shape {text_dev.shape} != padded ({pad_len},); "
+            "size it with chunk_geometry(n, chunk_elems)")
     return {
         "plan": BigPlan(n=n, m=m, n_chunks=n_chunks, bits=bits, spw=spw,
                         remap=remap, e0=e0, e1=e1,
                         meta={"est_repeat": estimate_repeat_len(arr)}),
-        "text_pad": jnp.asarray(host),
+        "text_pad": text_dev,
         # Present byte values for the device compare-sum remap (the
         # host-side quantile sampling still uses the remap table).
         "vals_d": jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8)),

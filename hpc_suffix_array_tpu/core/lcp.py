@@ -176,8 +176,12 @@ def build_lcp_array(text, sa) -> jnp.ndarray:
         return jnp.zeros((0,), jnp.int32)
     sa = jnp.asarray(sa, jnp.int32)
     if n > int(os.environ.get("SA_LCP_WINDOW_MIN", 1 << 22)):
+        if os.environ.get("SA_LCP_FETCH", "sorted") == "window":
+            from hpc_suffix_array_tpu.core.lcp_window import (
+                build_lcp_array_window)
+            return build_lcp_array_window(arr, sa)
         from hpc_suffix_array_tpu.core.lcp_window import (
-            build_lcp_array_window)
-        return build_lcp_array_window(arr, sa)
+            build_lcp_array_sorted)
+        return build_lcp_array_sorted(arr, sa)
     plcp = plcp_kernel(arr, sa)
     return lcp_from_plcp(plcp, sa)

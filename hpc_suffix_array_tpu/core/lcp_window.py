@@ -131,10 +131,12 @@ def prepare_lcp(text) -> dict:
     depth = pick_depth(n, sigma)
     P = min(CHUNK, bucket_size(max(n, 1)))
     n_chunks = -(-n // P) if n else 0
+    from hpc_suffix_array_tpu.utils.staging import stage_to_device
+
     nbytes = n_chunks * P + depth + 8
     host = np.zeros(-(-nbytes // 4) * 4, np.uint8)
     host[:n] = np.asarray(arr)
-    text_dev = jnp.asarray(host)          # ONE upload; words packed on device
+    text_dev = stage_to_device(host)      # chunked upload; words packed on device
     return {"arr": arr, "n": n, "depth": depth, "P": P,
             "n_chunks": n_chunks, "text_dev": text_dev,
             "text32": _pack_words(text_dev)}
@@ -162,6 +164,14 @@ def build_lcp_array_window(text, sa, state: dict | None = None
     ]
     lcp = jnp.concatenate(pieces)[:n]
     lcp = lcp.at[0].set(0)
+    return _finish_misses(arr, text_dev, sa, lcp, depth, n)
+
+
+def _finish_misses(arr, text_dev, sa, lcp, depth: int, n: int):
+    """Resolve window misses (lcp >= depth): chain rule, then host residue.
+
+    Shared tail of the gather-window and sorted-fetch paths; ``text_dev``
+    is the zero-padded device byte array used for the period sweep."""
     total_miss = int(jax.device_get(
         jnp.sum((lcp[1:] >= depth).astype(jnp.int32))))   # ONE sync
 
@@ -206,3 +216,132 @@ def build_lcp_array_window(text, sa, state: dict | None = None
         neq = np.flatnonzero(wa != wb)
         lcp_np[j] = int(neq[0]) if len(neq) else lim
     return jnp.asarray(lcp_np)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-fetch path: permute packed key words into SA order by sort.
+#
+# The gather-window path above pays XLA's ~10 ns per gathered ELEMENT —
+# n * (depth/4 + 1) word fetches dominate its runtime (measured ~6 s at
+# 2^26, gather-bound). This path fetches NOTHING: each suffix's first
+# WN*spw symbols are packed into WN int32 words in TEXT order (static
+# shifted slices, fused), then carried into SA order by two lax.sort
+# calls (sa -> inverse permutation; isa-keyed payload sort). Adjacent
+# first-mismatch falls out of xor + count-leading-zeros on the word
+# columns. Sorts are the op class the TPU compiles and runs best
+# (measured: 2-operand lax.sort at 2^24 = 74 ms vs ~2.8 s of gathers for
+# the same coverage), and the packing reuses core/bigsort's dense
+# alphabet machinery, so window depth ADAPTS to the alphabet: 2*spw
+# symbols per word pair (alnum 10, DNA 20, binary 30 at WN=2).
+# ---------------------------------------------------------------------------
+
+
+def _pick_wn(n: int, sigma: int, spw: int) -> int:
+    """Number of packed key words so expected adjacent-pair misses stay
+    in the host-finish regime: sigma^(WN*spw) >> n^2 (misses ~ number of
+    repeated (WN*spw)-grams). Periodic texts miss regardless and take
+    the chain rule instead."""
+    import math as _m
+
+    lg_sigma = _m.log2(max(sigma, 2))
+    need_syms = (2 * _m.log2(max(n, 2)) + 10) / lg_sigma
+    return int(min(4, max(2, _m.ceil(need_syms / max(spw, 1)))))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _mismatch_sorted(WN: int, spw: int, bits: int, text_ext, vals,
+                     sa_pad, n):
+    """First-mismatch offsets (int32[n_pad]) for adjacent SA pairs.
+
+    ``text_ext`` is uint8[n_pad + WN*spw] zero past n; ``sa_pad`` is sa
+    extended with n..n_pad-1 (unique keys that sort to the tail). Pairs
+    with no mismatch inside WN*spw symbols report WN*spw. Entry 0 and
+    pad entries report 0. ONE dispatch, no gathers, no scans."""
+    n_pad = sa_pad.shape[0]
+    depth = WN * spw
+    # Dense codes by fused compare-sum (code(x) = #present bytes <= x;
+    # same remap as core/bigsort._chunk_codes, no table gather).
+    pos_ext = lax.iota(jnp.int32, n_pad + depth)
+    codes = jnp.sum((text_ext[:, None] >= vals).astype(jnp.int32), axis=1)
+    codes = jnp.where(pos_ext < n, codes, 0)
+    kws = [_dev_pack_word_local(codes, w * spw, spw, bits, n_pad)
+           for w in range(WN)]
+    # Permute words into SA order: sort 1 builds the inverse permutation
+    # (isa[i] = position of suffix i in sa); sort 2 keyed by isa lands
+    # payload kw[i] at output slot isa[i], i.e. out[r] = kw[sa[r]].
+    iota = lax.iota(jnp.int32, n_pad)
+    _, isa = lax.sort((sa_pad, iota), num_keys=1)
+    srt = lax.sort((isa, *kws), num_keys=1)
+    kws_sa = srt[1:]
+    # Adjacent compare: first differing symbol via xor + clz. Packed
+    # words hold spw symbols in their low spw*bits bits, first symbol
+    # highest; highest set xor bit p => symbol spw-1 - p//bits.
+    offs = []
+    for w, kw in enumerate(kws_sa):
+        prev = jnp.concatenate([kw[:1], kw[:-1]])
+        x = prev ^ kw
+        sym = spw - 1 - (31 - lax.clz(x)) // bits
+        offs.append(jnp.where(x != 0, w * spw + sym, depth))
+    lcp = jnp.min(jnp.stack(offs), axis=0)
+    real = (iota >= 1) & (iota < n)
+    return jnp.where(real, lcp, 0)
+
+
+def _dev_pack_word_local(codes_ext, offset: int, spw: int, bits: int,
+                         m: int):
+    """Packed word of spw codes from element ``offset`` (static fold)."""
+    out = jnp.zeros((m,), jnp.int32)
+    for s in range(spw):
+        out = (out << bits) | lax.slice(
+            codes_ext, (offset + s,), (offset + s + m,))
+    return out
+
+
+def prepare_lcp_sorted(text, text_pad_dev=None) -> dict:
+    """Stage the text for repeated sorted-fetch LCP runs.
+
+    ``text_pad_dev``: optional device copy of the text padded to
+    ``bucket_size(n)`` with zeros past n (e.g. bench.py's twin corpus);
+    skips the host->device transfer — the word-window extension is
+    appended on device."""
+    from hpc_suffix_array_tpu.core.suffix_array import alphabet_remap
+
+    arr = as_byte_array(text)
+    n = int(arr.shape[0])
+    remap, bits, _h0 = alphabet_remap(arr) if n else (
+        np.zeros(256, np.int32), 1, 1)
+    sigma = int(remap.max()) if n else 1
+    spw = max(1, 30 // bits)
+    wn = _pick_wn(n, sigma, spw)
+    n_pad = bucket_size(max(n, 1))
+    if text_pad_dev is not None and tuple(text_pad_dev.shape) == (n_pad,):
+        text_ext = jnp.concatenate(
+            [text_pad_dev, jnp.zeros(wn * spw, jnp.uint8)])
+    else:
+        from hpc_suffix_array_tpu.utils.staging import stage_to_device
+
+        host = np.zeros(n_pad + wn * spw, np.uint8)
+        host[:n] = np.asarray(arr)
+        text_ext = stage_to_device(host)
+    return {"arr": arr, "n": n, "spw": spw, "bits": bits, "wn": wn,
+            "text_ext": text_ext,
+            "vals": jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8))}
+
+
+def build_lcp_array_sorted(text, sa, state: dict | None = None
+                           ) -> jnp.ndarray:
+    """LCP array for large texts, sorted-fetch strategy (see above)."""
+    if state is None:
+        state = prepare_lcp_sorted(text)
+    arr, n = state["arr"], state["n"]
+    if n == 0:
+        return jnp.zeros((0,), jnp.int32)
+    wn, spw, bits = state["wn"], state["spw"], state["bits"]
+    depth = wn * spw
+    n_pad = state["text_ext"].shape[0] - depth
+    sa = jnp.asarray(sa, jnp.int32)
+    sa_pad = jnp.concatenate(
+        [sa, jnp.arange(n, n_pad, dtype=jnp.int32)]) if n_pad > n else sa
+    lcp = _mismatch_sorted(wn, spw, bits, state["text_ext"], state["vals"],
+                           sa_pad, jnp.int32(n))[:n]
+    return _finish_misses(arr, state["text_ext"], sa, lcp, depth, n)

@@ -135,7 +135,15 @@ def alphabet_remap(arr: np.ndarray) -> tuple[np.ndarray, int, int]:
     bytes: h0 = 3). The reference always starts from single chars
     (manber_myers.c:88-92).
     """
-    present = np.bincount(arr, minlength=256) > 0
+    # Chunked bincount: np.bincount casts its input to int64 internally,
+    # i.e. an 8x full-text temp (8.6 GB at 1 GiB — minutes of cold page
+    # faults on this VM class, utils/hostmem.py). 16 MiB chunks bound the
+    # temp to 128 MB, reused hot across iterations.
+    counts = np.zeros(256, np.int64)
+    step = 1 << 24
+    for i in range(0, arr.size, step):
+        counts += np.bincount(arr[i:i + step], minlength=256)
+    present = counts > 0
     remap = np.cumsum(present).astype(np.int32) * present
     k = int(remap.max()) if arr.size else 1
     bits = max(1, int(k).bit_length())

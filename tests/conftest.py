@@ -35,6 +35,12 @@ if jax.local_device_count() != 8:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+from hpc_suffix_array_tpu.utils.hostmem import (  # noqa: E402
+    disable_hugepage_madvise, keep_host_memory_hot)
+
+disable_hugepage_madvise()   # VM-class host-memory workarounds
+keep_host_memory_hot()       # (see utils/hostmem.py)
+
 
 @pytest.fixture(scope="session")
 def rng():

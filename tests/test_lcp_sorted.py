@@ -1,0 +1,89 @@
+"""Sorted-fetch LCP path (core/lcp_window.build_lcp_array_sorted) vs the
+Kasai oracle — same corpus family as the gather-window tests, plus the
+degenerate alphabets the adaptive word packing must handle."""
+
+import numpy as np
+import pytest
+
+from hpc_suffix_array_tpu.core.lcp_window import build_lcp_array_sorted
+from hpc_suffix_array_tpu.core.oracle import lcp_oracle, suffix_array_oracle
+
+ALNUM = np.frombuffer(
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+    np.uint8)
+
+
+def _check(text):
+    text = np.asarray(text)
+    sa = np.asarray(suffix_array_oracle(text.tobytes()))
+    lcp = np.asarray(build_lcp_array_sorted(text, sa))
+    assert np.array_equal(lcp, np.asarray(lcp_oracle(text, sa)))
+
+
+def test_random_bytes(rng):
+    _check(rng.integers(0, 256, 50_000).astype(np.uint8))
+
+
+def test_alnum(rng):
+    _check(ALNUM[rng.integers(0, 62, 50_000)])
+
+
+def test_dna(rng):
+    _check(np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 50_000)])
+
+
+def test_binary(rng):
+    _check(np.frombuffer(b"ab", np.uint8)[rng.integers(0, 2, 20_000)])
+
+
+def test_long_repeats_host_finish(rng):
+    """Scattered 200-byte repeated blocks: misses beyond the packed
+    words resolve via the shared host-finish path."""
+    text = ALNUM[rng.integers(0, 62, 40_000)]
+    block = ALNUM[rng.integers(0, 62, 200)]
+    for at in (100, 9000, 25000):
+        text[at:at + 200] = block
+    _check(text)
+
+
+def test_periodic_chain_fix(rng):
+    _check(np.tile(ALNUM[rng.integers(0, 62, 1000)], 40))
+
+
+def test_period_two():
+    _check(np.tile(np.frombuffer(b"ab", np.uint8), 10_000))
+
+
+def test_all_same():
+    _check(np.full(8192, ord("a"), np.uint8))
+
+
+def test_tiny_texts():
+    for s in (b"banana", b"mississippi", b"abcabcabc", b"a", b"ab"):
+        _check(np.frombuffer(s, np.uint8))
+
+
+def test_routing_default_is_sorted(rng, monkeypatch):
+    """build_lcp_array routes big texts through the sorted path by
+    default (SA_LCP_FETCH=window selects the gather-window path)."""
+    from hpc_suffix_array_tpu.core.lcp import build_lcp_array
+
+    monkeypatch.setenv("SA_LCP_WINDOW_MIN", "10000")
+    monkeypatch.delenv("SA_LCP_FETCH", raising=False)
+    text = rng.integers(0, 256, 30_000).astype(np.uint8)
+    sa = np.asarray(suffix_array_oracle(text.tobytes()))
+    lcp = np.asarray(build_lcp_array(text, sa))
+    assert np.array_equal(lcp, np.asarray(lcp_oracle(text, sa)))
+
+
+def test_staged_state_reuse(rng):
+    """prepare_lcp_sorted state serves repeated builds (bench form)."""
+    from hpc_suffix_array_tpu.core.lcp_window import prepare_lcp_sorted
+
+    text = ALNUM[rng.integers(0, 62, 30_000)]
+    sa = np.asarray(suffix_array_oracle(text.tobytes()))
+    state = prepare_lcp_sorted(text)
+    a = np.asarray(build_lcp_array_sorted(text, sa, state))
+    b = np.asarray(build_lcp_array_sorted(text, sa, state))
+    assert np.array_equal(a, b)
+    assert np.array_equal(a, np.asarray(lcp_oracle(text, sa)))
