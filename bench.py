@@ -88,7 +88,7 @@ def measure_tpu(n: int, reps: int) -> float:
 
     if n > int(os.environ.get("SA_BIG_THRESHOLD", 1 << 28)):
         from hpc_suffix_array_tpu.core.bigsort import (
-            chunk_geometry, execute_big, prepare_big, sample_edges)
+            chunk_geometry, execute_big, prepare_big, replan_edges)
 
         # Twin generation: the corpus is born in HBM and mirrored on the
         # host by the same program on the CPU backend — nothing crosses
@@ -97,17 +97,20 @@ def measure_tpu(n: int, reps: int) -> float:
         _, _, pad_len = chunk_geometry(n)
         text, text_dev = twin_corpus(n, pad_len)
         state = prepare_big(text, text_dev=text_dev)   # plan (untimed)
+        # Re-plan BEFORE the warmup: the reps re-plan too, and the edge
+        # sampler's bucket sizes pick the (static) slab/sort shapes — the
+        # warmup must compile the same programs the timed reps run.
+        replan_edges(state, text)
         sa = execute_big(dict(state))                  # warmup/compile
         jax.device_get(sa[-1])
         del sa
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            # Timed region includes the host re-plan (edge sampling), the
-            # distribute passes, and every bucket pass.
-            plan = state["plan"]
-            plan.e0, plan.e1 = sample_edges(
-                text, plan.remap, plan.spw, plan.bits, 1 << 24)
+            # Timed region includes the re-plan (edge re-sampling, on
+            # device when the alphabet allows), the distribute passes,
+            # and every bucket pass.
+            replan_edges(state, text)
             sa = execute_big(dict(state))
             jax.device_get(sa[-1])
             best = min(best, time.perf_counter() - t0)

@@ -124,19 +124,100 @@ def _host_pack_words(arr, remap, pos, spw: int, bits: int, word: int):
 
 def sample_edges(arr: np.ndarray, remap, spw: int, bits: int,
                  target_bucket: int, sample: int = 1 << 21,
-                 seed: int = 0x5A) -> tuple[np.ndarray, np.ndarray]:
-    """Quantile bucket edges over sampled (k0, k1) pairs (host)."""
+                 seed: int = 0x5A, k0_only: bool | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Quantile bucket edges over sampled keys (host).
+
+    Prefers k0-only edges (e1 = all zeros, making the bucket id a
+    function of k0 alone): the scatter pass can then group chunks with a
+    1-key sort — measured 85 ms vs 113 ms per 2^24 chunk on v5e — and
+    the replan packs half the words. Falls back to (k0, k1) pair edges
+    when the sampled k0 quantiles predict an oversized bucket (heavy
+    first-word duplication). ``k0_only`` forces the mode (tests).
+    """
     n = len(arr)
     n_buckets = max(2, math.ceil(n / target_bucket))
     rng = np.random.default_rng(seed)
     pos = rng.integers(0, n, min(sample, 4 * n))
-    code = (_host_pack_words(arr, remap, pos, spw, bits, 0) << 31) | \
-        _host_pack_words(arr, remap, pos, spw, bits, 1)
+    c0 = _host_pack_words(arr, remap, pos, spw, bits, 0)
+    if k0_only is not False:
+        c0s = np.sort(c0)
+        q = (np.arange(1, n_buckets) * len(c0s)) // n_buckets
+        e0 = np.unique(c0s[q])
+        cuts = np.searchsorted(c0s, e0, side="left")
+        sizes = np.diff(np.r_[0, cuts, len(c0s)])
+        # Sampling error at 2M samples is <1% per bucket; 0.7x the pass
+        # cap leaves margin, and 4x the target keeps W (max per-chunk
+        # run, hence slab gap width) from bloating the slabs.
+        worst = sizes.max() / max(len(c0s), 1) * n
+        if len(e0) and worst <= min(0.7 * MAX_PASS_ELEMS,
+                                    4 * target_bucket):
+            return (e0.astype(np.int32), np.zeros(len(e0), np.int32))
+        if k0_only:
+            raise ValueError("k0-only edges requested but the sampled "
+                             "k0 distribution is too skewed")
+    c1 = _host_pack_words(arr, remap, pos, spw, bits, 1)
+    code = (c0.astype(np.int64) << 31) | c1
     code.sort()
     q = (np.arange(1, n_buckets) * len(code)) // n_buckets
     edges = np.unique(code[q])
     return ((edges >> 31).astype(np.int32),
             (edges & ((1 << 31) - 1)).astype(np.int32))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _sample_k0_device(n_edges: int, m_s: int, stride: int, spw: int,
+                      bits: int, ranges, text_pad, vals, n):
+    """k0-only quantile edges, entirely on device (strided sample).
+
+    The host sampler costs ~0.6 s per re-plan at 1 GiB (random fancy
+    indexing over the host text); this one reshapes the device text into
+    (m_s, stride) rows — a free layout view, no gathers — packs the
+    first spw bytes of each row into a k0 word, sorts the 2M sample, and
+    takes quantiles. Duplicate quantile values are KEPT (they make empty
+    buckets, which the slab layout already skips) so the output shape is
+    static. Strided sampling is unbiased on non-periodic texts; periodic
+    texts route to chain mode before edges matter.
+    """
+    ext = lax.slice(text_pad, (0,), (m_s * stride,))
+    blk = ext.reshape(m_s, stride)[:, :spw]
+    codes = codes_from_bytes(blk, vals, ranges)
+    pos = lax.iota(jnp.int32, m_s) * stride
+    codes = jnp.where((pos[:, None] + lax.iota(jnp.int32, spw)) < n,
+                      codes, 0)
+    k0 = jnp.zeros((m_s,), jnp.int32)
+    for s in range(spw):
+        k0 = (k0 << bits) | codes[:, s]
+    # Invalid rows (start past n) sort to +inf and shrink the effective
+    # sample; quantile slots index only the valid prefix.
+    k0 = jnp.where(pos < jnp.maximum(n - spw, 1), k0, jnp.int32(2) << 29)
+    k0 = lax.sort((k0,))[0]
+    n_valid = jnp.clip((jnp.maximum(n - spw, 1) + stride - 1) // stride,
+                       1, m_s)
+    q = (jnp.arange(1, n_edges + 1, dtype=jnp.int32)
+         * n_valid) // jnp.int32(n_edges + 1)
+    return jnp.take(k0, q)
+
+
+def replan_edges(state, text=None) -> None:
+    """Refresh the plan's bucket edges in place (the bench re-plan step).
+
+    Uses the device sampler when the plan runs k0-only edges with a
+    range-mappable alphabet; falls back to the host sampler otherwise
+    (``text`` required there)."""
+    plan: BigPlan = state["plan"]
+    ranges = state.get("ranges")
+    if not plan.e1.any() and ranges is not None:
+        ne = len(plan.e0)
+        stride = max(2 * plan.spw, plan.n // (1 << 21) or 1)
+        m_s = min(1 << 21, plan.n // stride or 1)
+        plan.e0 = _sample_k0_device(
+            ne, m_s, stride, plan.spw, plan.bits, ranges,
+            state["text_pad"], state["vals_d"], jnp.int32(plan.n))
+        return
+    plan.e0, plan.e1 = sample_edges(
+        np.asarray(text if text is not None else state["host_text"]),
+        plan.remap, plan.spw, plan.bits, 1 << 24)
 
 
 def _dev_pack_word(codes_ext, offset: int, spw: int, bits: int, m: int):
@@ -148,32 +229,66 @@ def _dev_pack_word(codes_ext, offset: int, spw: int, bits: int, m: int):
     return out
 
 
-def _chunk_codes(m: int, spw: int, bits: int, text_pad, vals, start, n,
-                 static_start: int | None = None):
-    """(k0, k1) carried key words for one chunk.
+def byte_ranges(remap: np.ndarray, cap: int = 16
+                ) -> tuple[tuple[int, int, int], ...] | None:
+    """Present bytes as contiguous (lo, hi, run_len) ranges, or None.
 
-    The byte -> dense-code remap is a fused compare-sum over the K
-    present byte values (code(x) = #present bytes <= x), NOT a table
-    gather: XLA gathers cost ~10 ns per element (measured ~9.5 s per
-    full-text remap at 2^30), while K streamed compares fuse into
-    ~m*K/819GB/s (~80 ms per pass over the whole text).
+    The dense remap of most real alphabets is piecewise linear over a
+    handful of byte ranges (alnum: 3, DNA: 4, full bytes: 1) — the
+    device code can then be ~5 fused ops per range instead of one
+    compare per present VALUE (measured 36 ms -> ~10 ms per 2^24 chunk
+    at sigma=62). None = too fragmented (> ``cap`` ranges); callers fall
+    back to the compare-sum over present values.
     """
+    present = np.flatnonzero(remap > 0)
+    if len(present) == 0:
+        return ((0, 0, 0),)
+    cuts = np.flatnonzero(np.diff(present) > 1)
+    starts = np.r_[0, cuts + 1]
+    ends = np.r_[cuts, len(present) - 1]
+    ranges = tuple((int(present[s]), int(present[e]), int(e - s + 1))
+                   for s, e in zip(starts, ends))
+    return ranges if len(ranges) <= cap else None
+
+
+def codes_from_bytes(ext, vals, ranges):
+    """Dense codes (1..sigma, byte order) for a uint8 vector, no gather.
+
+    ``ranges`` static ((lo, hi, len), ...) -> piecewise-linear remap
+    (~5 ops/range); None -> compare-sum over the present byte values
+    ``vals`` (code(x) = #present bytes <= x). Both avoid the table
+    gather: XLA gathers cost ~10 ns per ELEMENT (measured ~9.5 s per
+    full-text remap at 2^30) while these fuse into the consumer.
+    """
+    if ranges is not None:
+        x = ext.astype(jnp.int32)
+        code = jnp.zeros(x.shape, jnp.int32)
+        for lo, hi, ln in ranges:
+            code = code + jnp.where(
+                x > hi, ln, jnp.maximum(x - (lo - 1), 0))
+        return code
+    return jnp.sum((ext[..., None] >= vals).astype(jnp.int32), axis=-1)
+
+
+def _chunk_codes(m: int, spw: int, bits: int, text_pad, vals, start, n,
+                 static_start: int | None = None, ranges=None):
+    """(k0, k1) carried key words for one chunk (see codes_from_bytes)."""
     if static_start is None:
         ext = lax.dynamic_slice(text_pad, (start,), (m + 2 * spw,))
     else:
         ext = lax.slice(text_pad, (static_start,),
                         (static_start + m + 2 * spw,))
     pos_ext = start + lax.iota(jnp.int32, m + 2 * spw)
-    codes = jnp.sum((ext[:, None] >= vals).astype(jnp.int32), axis=1)
+    codes = codes_from_bytes(ext, vals, ranges)
     codes = jnp.where(pos_ext < n, codes, 0)
     k0 = _dev_pack_word(codes, 0, spw, bits, m)
     k1 = _dev_pack_word(codes, spw, spw, bits, m)
     return k0, k1
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 9))
 def _count_chunks(C: int, m: int, spw: int, bits: int, text_pad, vals,
-                  e0, e1, n):
+                  e0, e1, n, ranges=None):
     """(C, E) histogram rows cnt_ge[c, e] = #{real pairs >= edge e}, ONE
     dispatch. Per-bucket run lengths follow on the host by differencing
     (bid is the number of edges at or below the pair, so bid >= e+1 is
@@ -184,7 +299,8 @@ def _count_chunks(C: int, m: int, spw: int, bits: int, text_pad, vals,
     rows = []
     for c in range(C):
         k0, k1 = _chunk_codes(m, spw, bits, text_pad, vals,
-                              jnp.int32(c * m), n, static_start=c * m)
+                              jnp.int32(c * m), n, static_start=c * m,
+                              ranges=ranges)
         ok = (c * m + lax.iota(jnp.int32, m)) < n
         ge = ((k0[:, None] > e0) | ((k0[:, None] == e0)
                                     & (k1[:, None] >= e1))) & ok[:, None]
@@ -192,24 +308,28 @@ def _count_chunks(C: int, m: int, spw: int, bits: int, text_pad, vals,
     return jnp.stack(rows)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
-                   donate_argnums=(4, 5, 6))
-def _scatter_chunk(m: int, spw: int, bits: int, W: int, k0B, k1B, idxB,
-                   text_pad, vals, dest, bnd, start, n):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 14),
+                   donate_argnums=(5, 6, 7))
+def _scatter_chunk(m: int, spw: int, bits: int, W: int, keys: int,
+                   k0B, k1B, idxB, text_pad, vals, dest, bnd, start, n,
+                   ranges=None):
     """Distribute one chunk into the bucket-major slabs (spill-forward).
 
-    One 3-operand sort by (k0, k1): bucket id is monotone in the key
-    pair, so the sorted chunk is already bucket-run-contiguous, and the
-    run boundaries ``bnd[b]`` are host-known from the count pass — no
-    bid column, no searchsorted. ``dest[b]`` is THIS chunk's run
-    destination for bucket b. Each run is written as one unmasked W-wide
-    window; the tail past the run's true length spills onto the region
-    the next chunk's run writes (healed by chunk order) or the bucket
-    gap. The donated slabs are never READ here, so XLA aliases them in
-    place with no copy.
+    One 3-operand sort: bucket id is monotone in the key pair, so the
+    sorted chunk is already bucket-run-contiguous, and the run
+    boundaries ``bnd[b]`` are host-known from the count pass — no bid
+    column, no searchsorted. With k0-only edges (e1 all zeros, see
+    sample_edges) the bucket id is a function of k0 alone and ``keys``
+    is 1 — k1 rides as payload (measured 85 ms vs 113 ms per 2^24 chunk
+    on v5e). ``dest[b]`` is THIS chunk's run destination for bucket b.
+    Each run is written as one unmasked W-wide window; the tail past the
+    run's true length spills onto the region the next chunk's run writes
+    (healed by chunk order) or the bucket gap. The donated slabs are
+    never READ here, so XLA aliases them in place with no copy.
     """
     NB = dest.shape[0]
-    k0, k1 = _chunk_codes(m, spw, bits, text_pad, vals, start, n)
+    k0, k1 = _chunk_codes(m, spw, bits, text_pad, vals, start, n,
+                          ranges=ranges)
     pos = start + lax.iota(jnp.int32, m)
     ok = pos < n
     k0 = jnp.where(ok, k0, PAD_KEY)
@@ -219,7 +339,7 @@ def _scatter_chunk(m: int, spw: int, bits: int, W: int, k0B, k1B, idxB,
     s_k0, s_k1, s_idx = lax.sort(
         (jnp.concatenate([k0, padk]), jnp.concatenate([k1, padk]),
          jnp.concatenate([pos, padk])),
-        num_keys=2, is_stable=False)
+        num_keys=keys, is_stable=False)
     for b in range(NB):
         k0B = lax.dynamic_update_slice(
             k0B, lax.dynamic_slice(s_k0, (bnd[b],), (W,)), (dest[b],))
@@ -407,8 +527,10 @@ def prepare_big(text, *, target_bucket: int = 1 << 24,
                         remap=remap, e0=e0, e1=e1,
                         meta={"est_repeat": estimate_repeat_len(arr)}),
         "text_pad": text_dev,
-        # Present byte values for the device compare-sum remap (the
-        # host-side quantile sampling still uses the remap table).
+        # Device remap inputs: static byte ranges when the alphabet is
+        # piecewise contiguous, else present values for the compare-sum
+        # (the host-side quantile sampling still uses the remap table).
+        "ranges": byte_ranges(remap),
         "vals_d": jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8)),
         "host_text": arr,
     }
@@ -469,6 +591,7 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
     plan: BigPlan = state["plan"]
     text_pad = state["text_pad"]
     vals_d = state["vals_d"]
+    ranges = state.get("ranges")
     n, m, C = plan.n, plan.m, plan.n_chunks
     e0 = jnp.asarray(plan.e0)
     e1 = jnp.asarray(plan.e1)
@@ -478,7 +601,7 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
     # --- pass A: count ------------------------------------------------
     cnt_ge = np.asarray(jax.device_get(_count_chunks(
         C, m, plan.spw, plan.bits, text_pad, vals_d, e0, e1,
-        jnp.int32(n)))).astype(np.int64)                     # (C, E)
+        jnp.int32(n), ranges))).astype(np.int64)             # (C, E)
     real = np.minimum(m, np.maximum(0, n - np.arange(C) * m))
     full = np.concatenate(
         [real[:, None], cnt_ge, np.zeros((C, 1), np.int64)], axis=1)
@@ -529,12 +652,13 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
     k1B = jnp.zeros((slab_len,), jnp.int32)
     bnd = np.concatenate(
         [np.zeros((C, 1), np.int64), counts.cumsum(axis=1)[:, :-1]], axis=1)
+    keys = 1 if not plan.e1.any() else 2    # k0-only edges -> 1-key sort
     for c in range(C):
         k0B, k1B, idxB = _scatter_chunk(
-            m, plan.spw, plan.bits, W, k0B, k1B, idxB, text_pad, vals_d,
-            jnp.asarray(dest[c].astype(np.int32)),
+            m, plan.spw, plan.bits, W, keys, k0B, k1B, idxB, text_pad,
+            vals_d, jnp.asarray(dest[c].astype(np.int32)),
             jnp.asarray(bnd[c].astype(np.int32)),
-            jnp.int32(c * m), jnp.int32(n))
+            jnp.int32(c * m), jnp.int32(n), ranges)
     _ = jax.device_get(idxB[0])                              # fence
     _stamps.append(("scatter", time.perf_counter()))
 

@@ -248,9 +248,9 @@ def _pick_wn(n: int, sigma: int, spw: int) -> int:
     return int(min(4, max(2, _m.ceil(need_syms / max(spw, 1)))))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 7))
 def _mismatch_sorted(WN: int, spw: int, bits: int, text_ext, vals,
-                     sa_pad, n):
+                     sa_pad, n, ranges=None):
     """First-mismatch offsets (int32[n_pad]) for adjacent SA pairs.
 
     ``text_ext`` is uint8[n_pad + WN*spw] zero past n; ``sa_pad`` is sa
@@ -259,10 +259,12 @@ def _mismatch_sorted(WN: int, spw: int, bits: int, text_ext, vals,
     pad entries report 0. ONE dispatch, no gathers, no scans."""
     n_pad = sa_pad.shape[0]
     depth = WN * spw
-    # Dense codes by fused compare-sum (code(x) = #present bytes <= x;
-    # same remap as core/bigsort._chunk_codes, no table gather).
+    # Dense codes without a table gather (core/bigsort.codes_from_bytes:
+    # static piecewise ranges, or compare-sum over present values).
+    from hpc_suffix_array_tpu.core.bigsort import codes_from_bytes
+
     pos_ext = lax.iota(jnp.int32, n_pad + depth)
-    codes = jnp.sum((text_ext[:, None] >= vals).astype(jnp.int32), axis=1)
+    codes = codes_from_bytes(text_ext, vals, ranges)
     codes = jnp.where(pos_ext < n, codes, 0)
     kws = [_dev_pack_word_local(codes, w * spw, spw, bits, n_pad)
            for w in range(WN)]
@@ -323,8 +325,10 @@ def prepare_lcp_sorted(text, text_pad_dev=None) -> dict:
         host = np.zeros(n_pad + wn * spw, np.uint8)
         host[:n] = np.asarray(arr)
         text_ext = stage_to_device(host)
+    from hpc_suffix_array_tpu.core.bigsort import byte_ranges
+
     return {"arr": arr, "n": n, "spw": spw, "bits": bits, "wn": wn,
-            "text_ext": text_ext,
+            "text_ext": text_ext, "ranges": byte_ranges(remap),
             "vals": jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8))}
 
 
@@ -343,5 +347,5 @@ def build_lcp_array_sorted(text, sa, state: dict | None = None
     sa_pad = jnp.concatenate(
         [sa, jnp.arange(n, n_pad, dtype=jnp.int32)]) if n_pad > n else sa
     lcp = _mismatch_sorted(wn, spw, bits, state["text_ext"], state["vals"],
-                           sa_pad, jnp.int32(n))[:n]
+                           sa_pad, jnp.int32(n), state.get("ranges"))[:n]
     return _finish_misses(arr, state["text_ext"], sa, lcp, depth, n)

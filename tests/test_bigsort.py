@@ -108,3 +108,83 @@ def test_dispatch_threshold(rng, monkeypatch):
     text = rng.integers(0, 256, 20_000).astype(np.uint8)
     sa = np.asarray(build_suffix_array(text))
     assert np.array_equal(sa, np.asarray(suffix_array_oracle(text.tobytes())))
+
+
+def test_edge_modes_byte_exact(rng):
+    """k0-only edges (1-key scatter grouping) and (k0,k1) pair edges
+    produce the same byte-exact SA; random alnum admits k0-only."""
+    from hpc_suffix_array_tpu.core.suffix_array import alphabet_remap
+    from hpc_suffix_array_tpu.core.bigsort import sample_edges
+
+    text = ALNUM[rng.integers(0, 62, 40_000)]
+    remap, bits, _ = alphabet_remap(text)
+    spw = 30 // bits
+    ref = np.asarray(suffix_array_oracle(text.tobytes()))
+    for mode in (True, False):
+        e0, e1 = sample_edges(text, remap, spw, bits, 1 << 12,
+                              sample=1 << 12, k0_only=mode)
+        assert (not e1.any()) == mode
+        state = prepare_big(text, target_bucket=1 << 12,
+                            chunk_elems=1 << 12, sample=1 << 12)
+        state["plan"].e0, state["plan"].e1 = e0, e1
+        assert np.array_equal(np.asarray(execute_big(state)), ref)
+
+
+def test_k0_only_refuses_skew(rng):
+    """All-'a' text: every sampled k0 is identical - k0-only edges can
+    not partition it and must refuse when forced."""
+    from hpc_suffix_array_tpu.core.suffix_array import alphabet_remap
+    from hpc_suffix_array_tpu.core.bigsort import sample_edges
+
+    text = np.full(30_000, ord("a"), np.uint8)
+    remap, bits, _ = alphabet_remap(text)
+    with pytest.raises(ValueError, match="skew"):
+        sample_edges(text, remap, 30 // bits, bits, 1 << 12,
+                     sample=1 << 12, k0_only=True)
+
+
+def test_byte_ranges():
+    from hpc_suffix_array_tpu.core.bigsort import byte_ranges
+    from hpc_suffix_array_tpu.core.suffix_array import alphabet_remap
+
+    alnum_text = ALNUM.copy()
+    remap, _, _ = alphabet_remap(alnum_text)
+    assert byte_ranges(remap) == ((48, 57, 10), (65, 90, 26), (97, 122, 26))
+    remap4, _, _ = alphabet_remap(np.frombuffer(b"ACGT", np.uint8))
+    assert byte_ranges(remap4) == (
+        (65, 65, 1), (67, 67, 1), (71, 71, 1), (84, 84, 1))
+    # 32 isolated values > cap -> None (compare-sum fallback)
+    sparse = np.arange(0, 64, 2, dtype=np.uint8)
+    remap_s, _, _ = alphabet_remap(sparse)
+    assert byte_ranges(remap_s, cap=16) is None
+
+
+def test_codes_from_bytes_matches_compare_sum(rng):
+    import jax.numpy as jnp
+
+    from hpc_suffix_array_tpu.core.bigsort import (
+        byte_ranges, codes_from_bytes)
+    from hpc_suffix_array_tpu.core.suffix_array import alphabet_remap
+
+    text = ALNUM[rng.integers(0, 62, 5000)]
+    remap, _, _ = alphabet_remap(text)
+    vals = jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8))
+    a = np.asarray(codes_from_bytes(jnp.asarray(text), vals, None))
+    b = np.asarray(codes_from_bytes(jnp.asarray(text), vals,
+                                    byte_ranges(remap)))
+    assert np.array_equal(a, b)
+    assert np.array_equal(a, remap[text])
+
+
+def test_replan_edges_device_path(rng):
+    """Device edge re-sampling keeps the SA byte-exact (k0-only plans)."""
+    from hpc_suffix_array_tpu.core.bigsort import replan_edges
+
+    text = ALNUM[rng.integers(0, 62, 40_000)]
+    state = prepare_big(text, **TINY)
+    if state["plan"].e1.any():
+        import pytest as _p
+        _p.skip("sampled plan not k0-only for this corpus")
+    replan_edges(state)
+    sa = np.asarray(execute_big(dict(state)))
+    assert np.array_equal(sa, np.asarray(suffix_array_oracle(text.tobytes())))
