@@ -38,7 +38,16 @@ def keep_host_memory_hot() -> bool:
     and M_MMAP_THRESHOLD=max routes large allocations through the heap
     instead of per-allocation mmap/munmap (an munmap is an immediate
     kernel release no trim setting can prevent). RSS then plateaus at
-    the peak working set and stays hot. No-op off glibc."""
+    the peak working set and stays hot. No-op off glibc.
+
+    Trade-off: when free-page reporting is off (page_reporting_order
+    high) freed-to-kernel pages stay host-backed and realloc-after-free
+    is cheap, so the pin mostly buys fragmentation; SA_HOSTMEM_PIN=0
+    skips it for such runs."""
+    import os
+
+    if os.environ.get("SA_HOSTMEM_PIN", "1") == "0":
+        return False
     import ctypes
     import ctypes.util
 

@@ -24,6 +24,11 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Do NOT enable the persistent compile cache here: its XLA:CPU AOT
+# entries are compiled for a machine profile this host lacks
+# (+prefer-no-scatter etc.), and the load/recompile cycle runs away
+# (measured 33+ GB RSS, never finishing, on the 8-device dryrun —
+# 128 s with the cache off; 2026-08-18).
 if jax.local_device_count() != 8:
     import pytest as _pytest
 
