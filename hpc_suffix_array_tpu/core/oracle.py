@@ -14,16 +14,39 @@ from hpc_suffix_array_tpu.core.suffix_array import as_byte_array
 
 
 def suffix_array_oracle(text) -> np.ndarray:
-    """Suffix array by direct suffix sort (unsigned byte order)."""
+    """Suffix array by direct suffix sort (unsigned byte order).
+
+    Above 64K chars this routes through the independent native SA-IS
+    (hpc_suffix_array_tpu.native): ``sorted(range(n), key=...)``
+    PRECOMPUTES all n suffix slices — O(n^2) bytes held at once, which
+    is 130 GB (an OOM kill) at n=2^20. The two oracles cross-check each
+    other in tests/test_native.py.
+    """
     data = bytes(as_byte_array(text).tobytes())
     n = len(data)
+    if n > 1 << 16:
+        from hpc_suffix_array_tpu import native
+
+        if native.available():
+            return np.asarray(native.sa_build(np.frombuffer(
+                data, np.uint8)), dtype=np.int32)
     return np.asarray(sorted(range(n), key=lambda i: data[i:]), dtype=np.int32)
 
 
 def lcp_oracle(text, sa) -> np.ndarray:
-    """LCP array via textbook Kasai; lcp[0] = 0."""
+    """LCP array via textbook Kasai; lcp[0] = 0.
+
+    Above 64K chars the native C Kasai stands in for the Python loop
+    (same algorithm, ~100x faster; cross-checked in tests/test_native.py).
+    """
     data = as_byte_array(text)
     n = int(data.shape[0])
+    if n > 1 << 16:
+        from hpc_suffix_array_tpu import native
+
+        if native.available():
+            return np.asarray(native.lcp_kasai(data, np.asarray(
+                sa, np.int32)), dtype=np.int32)
     sa = np.asarray(sa, dtype=np.int64)
     if n == 0:
         return np.zeros(0, np.int32)

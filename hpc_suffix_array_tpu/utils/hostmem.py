@@ -61,6 +61,27 @@ def keep_host_memory_hot() -> bool:
         return False
 
 
+def release_host_memory() -> bool:
+    """Undo keep_host_memory_hot (reset glibc trim/mmap thresholds).
+
+    Long-running XLA:CPU executions allocate and free constantly with
+    high size diversity; under the pin, fragmentation converts that
+    churn into unbounded fresh RSS (measured: an 8-device 1M-char dryrun
+    was OOM-killed at 130 GB). Call this before execution-heavy CPU work
+    so freed buffers return to the kernel normally."""
+    import ctypes
+    import ctypes.util
+
+    try:
+        libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6",
+                           use_errno=True)
+        ok1 = libc.mallopt(_M_TRIM_THRESHOLD, ctypes.c_int(128 * 1024))
+        ok2 = libc.mallopt(_M_MMAP_THRESHOLD, ctypes.c_int(128 * 1024))
+        return bool(ok1 and ok2)
+    except Exception:
+        return False
+
+
 def disable_hugepage_madvise() -> bool:
     """Stop numpy from madvising THP for big allocations (see module
     docstring). Returns True when the hook was found and called."""
