@@ -1,0 +1,232 @@
+"""Distributed one-pass MSD (carried-keys) suffix build over a mesh.
+
+The sharded doubling builder (parallel/doubling.py) pays log(n) rounds of
+(bitonic sort + re-rank + route-back); on texts whose suffixes separate
+within the first 2*spw symbols (every corpus family of the reference's
+generator: random, DNA, and — via chain mode — periodic), ONE distributed
+sort of the carried key pair (k0, k1) already yields the suffix array, up
+to a bounded residue of still-tied positions. This module is the mesh
+version of core/bigsort.py's carried-keys design, built from the same
+distributed primitives as the doubling path:
+
+  * per-shard key packing with a 2*spw-code neighbor halo (one
+    statically-patterned ppermute, like doubling's ``_pack_local``);
+  * ONE oblivious block-bitonic sort of (k0, k1, tiebreak) — skew-immune,
+    static communication pattern (parallel/bitonic.py);
+  * tie flags + chain-delta stats via a boundary ppermute (each shard
+    compares its first sorted record against its left neighbor's last) +
+    psum/pmax reductions — O(P) scalars of traffic;
+  * residue compaction per shard into fixed RESIDUE_SLOTS records
+    (sort-based, no scatter), resolved by direct comparison on the host
+    and patched into the sharded SA (bounded transfer);
+  * periodic texts: the same descending-index tiebreak as
+    core/bigsort.py chain mode (for a global period d, s_{i+d} is a
+    strict prefix of s_i), with the period verified on the host text.
+
+This is the "≥ 4 GiB across ≥ 2 hosts" ladder config's intended builder
+(BASELINE.md): per-chip working set is one sort pass over 12 B/char of
+carried keys + the text shard — no rank arrays carried across log(n)
+rounds — and every collective is a static-pattern ppermute riding
+neighbor ICI links. Pathological inputs (irregular massive ties) raise
+NotImplementedError; callers fall back to the doubling builder, which
+handles them at any skew.
+
+Reference scope note: this replaces the master-centric MPI round
+(src/mpi/manber_myers_mpi.c:108-143) like parallel/doubling.py does, but
+with single-pass semantics; output is byte-identical to the sequential
+reference on all supported inputs (the suffix array is unique).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec
+
+from hpc_suffix_array_tpu.core.bigsort import (
+    PAD_KEY, RESIDUE_SLOTS, _resolve_residue_host, byte_ranges,
+    codes_from_bytes, estimate_repeat_len)
+from hpc_suffix_array_tpu.core.suffix_array import (
+    alphabet_remap, as_byte_array, bucket_size)
+from hpc_suffix_array_tpu.parallel.bitonic import block_bitonic_sort
+from hpc_suffix_array_tpu.parallel.mesh import (
+    SEQ_AXIS, make_mesh, sequence_sharding)
+
+_BIG = jnp.int32(1) << 30
+
+
+def _boundary_prev(cols, axis_name: str, n_shards: int):
+    """Each shard's view of its left neighbor's LAST sorted record.
+
+    ``cols`` is a tuple of int32[m] sorted columns; returns a tuple of
+    scalars (shard 0 receives zeros — harmless: no real k0 is 0, so the
+    manufactured 'previous record' never compares equal)."""
+    packet = jnp.stack([c[-1] for c in cols])
+    perm = [(i, i + 1) for i in range(n_shards - 1)]
+    got = lax.ppermute(packet, axis_name, perm)
+    return tuple(got[i] for i in range(len(cols)))
+
+
+def _local_build(P: int, bits: int, spw: int, R: int, ranges,
+                 text_u8, vals, n_real, desc):
+    """shard_map body: pack carried keys, one global sort, flags + residue.
+
+    Returns (s_idx[m], slots[R], res_idx[R], stats[6]) per shard; stats =
+    (tie_cnt, dmax, dmin, res_cnt_local, res_overflow, _pad) with the
+    first three psum/pmax/pmin-replicated and the residue fields local.
+    """
+    m = text_u8.shape[0]
+    me = lax.axis_index(SEQ_AXIS)
+    g = me * m + lax.iota(jnp.int32, m)
+
+    codes = codes_from_bytes(text_u8, vals, ranges)
+    codes = jnp.where(g < n_real, codes, 0)
+    halo = lax.ppermute(codes[:2 * spw], SEQ_AXIS,
+                        [(i, i - 1) for i in range(1, P)])
+    ext = jnp.concatenate([codes, halo])             # m + 2*spw codes
+    k0 = jnp.zeros((m,), jnp.int32)
+    k1 = jnp.zeros((m,), jnp.int32)
+    for s in range(spw):
+        k0 = (k0 << bits) | lax.slice(ext, (s,), (s + m,))
+        k1 = (k1 << bits) | lax.slice(ext, (spw + s,), (spw + s + m,))
+
+    real = g < n_real
+    k0 = jnp.where(real, k0, PAD_KEY)
+    k1 = jnp.where(real, k1, PAD_KEY)
+    tb = jnp.where(real, jnp.where(desc, n_real - g, g), _BIG)
+
+    k0s, k1s, tbs = block_bitonic_sort((k0, k1, tb), num_keys=3,
+                                       axis_name=SEQ_AXIS, n_shards=P)
+    gpos = me * m + lax.iota(jnp.int32, m)           # global sorted slot
+    real_s = gpos < n_real                           # pads sort last
+    s_idx = jnp.where(real_s, jnp.where(desc, n_real - tbs, tbs), n_real)
+
+    # Tie with the global predecessor (boundary record via one ppermute).
+    pk0, pk1, pidx_t = _boundary_prev((k0s, k1s, tbs), SEQ_AXIS, P)
+    prev_k0 = jnp.concatenate([pk0[None], k0s[:-1]])
+    prev_k1 = jnp.concatenate([pk1[None], k1s[:-1]])
+    prev_ix = jnp.where(desc, n_real - pidx_t, pidx_t)
+    prev_idx = jnp.concatenate([prev_ix[None], s_idx[:-1]])
+    tie = (k0s == prev_k0) & (k1s == prev_k1) & real_s & (gpos > 0)
+    delta = jnp.where(tie, jnp.where(desc, prev_idx - s_idx,
+                                     s_idx - prev_idx), 0)
+    tie_cnt = lax.psum(jnp.sum(tie.astype(jnp.int32)), SEQ_AXIS)
+    dmax = lax.pmax(jnp.max(jnp.where(tie, delta, 0)), SEQ_AXIS)
+    dmin = lax.pmin(jnp.min(jnp.where(tie, delta, _BIG)), SEQ_AXIS)
+
+    # Residue membership: every element of a tied group (the flag marks
+    # the later element of each tied pair; group heads join through their
+    # successor's flag, pulled across the right boundary).
+    nxt0 = lax.ppermute(tie[:1].astype(jnp.int32), SEQ_AXIS,
+                        [(i, i - 1) for i in range(1, P)])[0]
+    next_tie = jnp.concatenate([tie[1:].astype(jnp.int32), nxt0[None]])
+    member = (tie | (next_tie > 0)) & real_s
+    keyed = jnp.where(member, lax.iota(jnp.int32, m), _BIG)
+    o_slot, o_idx = lax.sort((keyed, s_idx), num_keys=1)
+    k = min(R, m)
+    slots = jnp.where(o_slot[:k] < _BIG, gpos[0] + o_slot[:k], -1)
+    slots = jnp.concatenate([slots, jnp.full((R - k,), -1, jnp.int32)])
+    res_idx = jnp.concatenate(
+        [o_idx[:k], jnp.zeros((R - k,), jnp.int32)])
+    res_cnt = jnp.sum(member.astype(jnp.int32))
+    stats = jnp.stack([tie_cnt, dmax, dmin, res_cnt,
+                       (res_cnt > R).astype(jnp.int32), jnp.int32(0)])
+    return s_idx, slots, res_idx, stats
+
+
+@functools.cache
+def _kernels(mesh: Mesh, bits: int, spw: int, ranges):
+    P = int(mesh.devices.size)
+    spec = PartitionSpec(SEQ_AXIS)
+    rep = PartitionSpec()
+    f = jax.shard_map(
+        functools.partial(_local_build, P, bits, spw, RESIDUE_SLOTS,
+                          ranges),
+        mesh=mesh,
+        in_specs=(spec, rep, rep, rep),
+        out_specs=(spec, spec, spec, spec),
+        check_vma=False)
+    return jax.jit(f)
+
+
+def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
+                                   force_chain_mode: bool | None = None
+                                   ) -> jnp.ndarray:
+    """Suffix array of ``text`` via ONE distributed carried-keys sort.
+
+    Returns the sharded int32[n] suffix array. Raises NotImplementedError
+    on inputs whose tie structure exceeds the bounded residue and is not
+    a clean periodic chain — callers fall back to
+    ``build_suffix_array_sharded`` (the doubling path handles any skew).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    P = int(mesh.devices.size)
+    arr = as_byte_array(text)
+    n = int(arr.shape[0])
+    if n < 8:
+        raise ValueError("sharded bigsort needs n >= 8; use the doubling "
+                         "builder")
+    remap, bits, spw = alphabet_remap(arr)
+    ranges = byte_ranges(remap)
+    chain = force_chain_mode
+    if chain is None:
+        chain = estimate_repeat_len(arr) > 2 * spw
+
+    n_pad = bucket_size(n, multiple_of=P * 128)
+    text_pad = np.zeros(n_pad, np.uint8)
+    text_pad[:n] = arr
+    text_d = jax.device_put(text_pad, sequence_sharding(mesh))
+    vals_d = jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8))
+
+    kern = _kernels(mesh, bits, spw, ranges)
+    s_idx, slots, res_idx, stats = kern(
+        text_d, vals_d, jnp.int32(n), jnp.bool_(chain))
+    st = np.asarray(jax.device_get(stats)).reshape(P, 6)
+    tie_cnt, dmax, dmin = int(st[0, 0]), int(st[0, 1]), int(st[0, 2])
+
+    if chain:
+        if tie_cnt:
+            delta_ok = (dmin == dmax) and dmax >= 1
+            if not delta_ok:
+                if force_chain_mode is None and tie_cnt <= n // 4:
+                    return build_suffix_array_sharded_big(
+                        arr, mesh, force_chain_mode=False)
+                raise NotImplementedError(
+                    "sharded bigsort: residual ties are not uniform "
+                    "arithmetic chains - use the doubling builder")
+            d = dmax
+            # Host-side period verification (the host holds the text in
+            # this API; a multi-host deployment would psum a shifted
+            # compare via dist_gather instead).
+            if d and np.any(arr[:-d] != arr[d:]):
+                raise NotImplementedError(
+                    f"sharded bigsort: chain delta {d} is not a global "
+                    "period - use the doubling builder")
+        sa = s_idx[:n]
+        return sa
+
+    if tie_cnt > n // 4 and force_chain_mode is None:
+        return build_suffix_array_sharded_big(arr, mesh,
+                                              force_chain_mode=True)
+    if np.any(st[:, 4]):
+        raise NotImplementedError(
+            "sharded bigsort: window-tied elements exceed the per-shard "
+            "residue cap - use the doubling builder")
+
+    sa = s_idx[:n]
+    if tie_cnt:
+        slots_h = np.asarray(jax.device_get(slots))
+        idx_h = np.asarray(jax.device_get(res_idx))
+        keep = slots_h >= 0
+        if keep.any():
+            s_sorted, fixed = _resolve_residue_host(
+                arr, slots_h[keep].astype(np.int64), idx_h[keep], n)
+            ok = s_sorted < n          # pads never join groups, but guard
+            sa = sa.at[jnp.asarray(s_sorted[ok].astype(np.int32))].set(
+                jnp.asarray(fixed[ok].astype(np.int32)))
+    return sa
