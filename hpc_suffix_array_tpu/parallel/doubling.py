@@ -156,7 +156,15 @@ def build_suffix_array_sharded(text, mesh: Mesh | None = None) -> jnp.ndarray:
     Same pad-sentinel scheme as the single-device builder
     (core/suffix_array.py): pad ranks (0) sort below all real bytes (+1),
     so the real SA is the tail slice of the padded suffix order.
+
+    Texts above SA_SHARDED_MSD_MIN (default 4 MiB) first try the
+    one-pass carried-keys MSD builder (parallel/bigsort.py — one
+    distributed sort instead of log(n) doubling rounds); tie structure
+    it cannot bound falls back here to the doubling loop, which handles
+    any skew. Both builders produce the same (unique) suffix array.
     """
+    import os
+
     if mesh is None:
         mesh = make_mesh()
     n_shards = int(mesh.devices.size)
@@ -164,6 +172,14 @@ def build_suffix_array_sharded(text, mesh: Mesh | None = None) -> jnp.ndarray:
     n = int(arr.shape[0])
     if n == 0:
         return jnp.zeros((0,), jnp.int32)
+    msd_min = int(os.environ.get("SA_SHARDED_MSD_MIN", 1 << 22))
+    if n >= msd_min:
+        from hpc_suffix_array_tpu.parallel.bigsort import (
+            build_suffix_array_sharded_big)
+        try:
+            return build_suffix_array_sharded_big(arr, mesh)
+        except NotImplementedError:
+            pass                     # irregular ties: doubling handles them
     # Shard width padded to the lane quantum so local arrays tile cleanly.
     n_pad = bucket_size(n, multiple_of=n_shards * 128)
     remap, bits, h0 = alphabet_remap(arr)

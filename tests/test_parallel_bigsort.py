@@ -72,6 +72,23 @@ def test_irregular_heavy_ties_fall_back(mesh8, rng):
         pass
 
 
+def test_sharded_build_routes_to_msd(mesh8, rng, monkeypatch):
+    """build_suffix_array_sharded routes large texts through the one-pass
+    builder (and the result stays exact), falling back on refusal."""
+    from hpc_suffix_array_tpu.parallel import build_suffix_array_sharded
+
+    monkeypatch.setenv("SA_SHARDED_MSD_MIN", "4096")
+    text = ALNUM[rng.integers(0, 62, 8 * 2048)]
+    sa = np.asarray(build_suffix_array_sharded(text, mesh8))
+    assert np.array_equal(sa, suffix_array_oracle(text.tobytes()))
+    # corrupted-tail periodic text: MSD may refuse -> doubling fallback
+    base = ALNUM[rng.integers(0, 62, 8)]
+    tricky = np.tile(base, 2048)[: 8 * 2048].copy()
+    tricky[-100:] = ALNUM[rng.integers(0, 62, 100)]
+    sa = np.asarray(build_suffix_array_sharded(tricky, mesh8))
+    assert np.array_equal(sa, suffix_array_oracle(tricky.tobytes()))
+
+
 def test_mesh_shape_invariance(rng):
     text = ALNUM[rng.integers(0, 62, 8 * 1024)]
     ref = suffix_array_oracle(text.tobytes())
