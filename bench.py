@@ -289,7 +289,10 @@ def main() -> None:
             # always measures LCP_TIME, main_sequential.c:41-49). Sorted-
             # fetch path (core/lcp_window.build_lcp_array_sorted); warmup
             # rep pays the compiles.
-            nl = min(n, 1 << 27)   # measured 94.6 MB/s at 2^27 on v5e
+            # Measured on v5e (sorted-fetch path): 99 MB/s at 2^26,
+            # 94.6 at 2^27, 86.3 at 2^28 — the full 64-256 MB BASELINE
+            # LCP target range runs on-chip (experiments/lcp_2e28.py).
+            nl = min(n, 1 << 28)
             from hpc_suffix_array_tpu.core.lcp_window import (
                 build_lcp_array_sorted, prepare_lcp_sorted)
             from hpc_suffix_array_tpu.utils.twin import twin_corpus
