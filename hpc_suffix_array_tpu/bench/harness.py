@@ -187,6 +187,7 @@ def weak_scaling_proxy(bytes_per_shard: int = 1 << 20,
                        mesh_sizes=(1, 2, 4, 8),
                        results_dir="results/benchmarks",
                        input_type: str = "random",
+                       builder: str = "auto",
                        verbose: bool = True) -> pd.DataFrame:
     """Weak-scaling sweep: n grows with the mesh (n = P * bytes_per_shard).
 
@@ -196,32 +197,53 @@ def weak_scaling_proxy(bytes_per_shard: int = 1 << 20,
     bandwidth — a proxy, and labeled as such in the CSV. Rows append to
     ``parallel_results.csv`` with weak_efficiency = t(1 shard) / t(P
     shards) at constant per-shard load.
+
+    ``builder`` pins the sharded build path for the whole sweep so the
+    curve measures ONE algorithm: "msd" (one-pass carried-keys sort),
+    "doubling", or "auto" (production routing — n crosses the MSD
+    threshold as P grows, so auto curves mix algorithms; fine for
+    end-to-end tracking, wrong for efficiency claims).
     """
     from hpc_suffix_array_tpu.datasets.generate import (
         generate_dna_text, generate_random_text, generate_repetitive_text)
     from hpc_suffix_array_tpu.parallel import make_mesh
 
+    thresholds = {"msd": "0", "doubling": str(1 << 62), "auto": None}
+    if builder not in thresholds:
+        raise ValueError(f"builder must be one of {sorted(thresholds)}")
     gens = {"random": generate_random_text,
             "repetitive": generate_repetitive_text,
             "dna": generate_dna_text}
     rows = []
     t1 = None
-    for p in mesh_sizes:
-        n = bytes_per_shard * p
-        text = gens[input_type](n, seed=42)
-        mesh = make_mesh(p)
-        r = run_benchmark(text, f"tpu_sharded_{p}", input_type, mesh=mesh)
-        if t1 is None:
-            t1 = r.sa_time
-        eff = t1 / r.sa_time if r.sa_time > 0 else 0.0
-        if verbose:
-            print(f"weak-scaling P={p} n={n / MB:.1f}MB "
-                  f"sa={r.sa_time:.3f}s eff={eff:.2f}")
-        row = _row_for_file(f"weak_{input_type}_{p}shard", r,
-                            f"tpu_sharded_{p}", p)
-        row["scaling_mode"] = "weak_proxy_cpu_mesh"
-        row["weak_efficiency"] = eff
-        rows.append(row)
+    prev_env = os.environ.get("SA_SHARDED_MSD_MIN")
+    if thresholds[builder] is not None:
+        os.environ["SA_SHARDED_MSD_MIN"] = thresholds[builder]
+    try:
+        for p in mesh_sizes:
+            n = bytes_per_shard * p
+            text = gens[input_type](n, seed=42)
+            mesh = make_mesh(p)
+            r = run_benchmark(text, f"tpu_sharded_{p}", input_type,
+                              mesh=mesh)
+            if t1 is None:
+                t1 = r.sa_time
+            eff = t1 / r.sa_time if r.sa_time > 0 else 0.0
+            if verbose:
+                print(f"weak-scaling[{builder}] P={p} n={n / MB:.1f}MB "
+                      f"sa={r.sa_time:.3f}s eff={eff:.2f}")
+            row = _row_for_file(f"weak_{input_type}_{p}shard", r,
+                                f"tpu_sharded_{p}", p)
+            row["scaling_mode"] = "weak_proxy_cpu_mesh"
+            row["builder"] = builder
+            row["weak_efficiency"] = eff
+            rows.append(row)
+    finally:
+        if thresholds[builder] is not None:
+            if prev_env is None:
+                os.environ.pop("SA_SHARDED_MSD_MIN", None)
+            else:
+                os.environ["SA_SHARDED_MSD_MIN"] = prev_env
 
     df = pd.DataFrame(rows)
     results_dir = pathlib.Path(results_dir)

@@ -148,6 +148,16 @@ def test_weak_scaling_proxy(tmp_path):
     assert df.weak_efficiency.iloc[0] == 1.0
     assert (tmp_path / "r" / "parallel_results.csv").exists()
 
+    # Pinned-builder sweeps: one algorithm per curve (the MSD threshold
+    # env must be restored afterwards).
+    import os
+    df2 = weak_scaling_proxy(bytes_per_shard=2048, mesh_sizes=(1, 2),
+                             results_dir=tmp_path / "r", builder="msd",
+                             verbose=False)
+    assert (df2.builder == "msd").all()
+    assert df2.weak_efficiency.iloc[0] == 1.0
+    assert "SA_SHARDED_MSD_MIN" not in os.environ
+
 
 def test_structured_results_parser(capsys):
     from hpc_suffix_array_tpu.bench.parse import (
