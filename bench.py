@@ -115,8 +115,22 @@ def measure_tpu(n: int, reps: int) -> float:
             jax.device_get(sa[-1])
             best = min(best, time.perf_counter() - t0)
             del sa
-        return best, {"path": "msd_bigsort",
-                      "buckets": state["plan"].meta.get("n_buckets_run")}
+        info = {"path": "msd_bigsort",
+                "buckets": state["plan"].meta.get("n_buckets_run")}
+        if os.environ.get("SA_BENCH_LCP_BIG", "1") != "0":
+            # Combined SA+LCP build at the same n (want_lcp derives the
+            # LCP from the carried sort keys — the 1 GiB-class LCP
+            # path). One warmup pays the lcp-variant compiles.
+            _sa, lcp = execute_big(dict(state), want_lcp=True)
+            jax.device_get(lcp[-1])
+            del _sa, lcp
+            t0 = time.perf_counter()
+            replan_edges(state, text)
+            _sa, lcp = execute_big(dict(state), want_lcp=True)
+            jax.device_get(lcp[-1])
+            info["sa_lcp_secs"] = time.perf_counter() - t0
+            del _sa, lcp
+        return best, info
     n_pad = bucket_size(n)
     text, text_pad = twin_corpus(n, n_pad)
     remap, bits, h0 = alphabet_remap(text)
@@ -233,6 +247,14 @@ def main() -> None:
     # Secondary corpus classes on stderr (the driver consumes exactly one
     # stdout line). DNA stresses round count; periodic text is the
     # worst case (round count scales with log(period)).
+    if info.get("sa_lcp_secs"):
+        print(json.dumps({
+            "metric": "sa_lcp_build",
+            "value": round(n / info["sa_lcp_secs"] / 1e6, 3),
+            "unit": "MB/s/chip",
+            "n": n,
+            "path": "msd_carried_keys",
+        }), file=sys.stderr)
     if os.environ.get("SA_BENCH_SECONDARY", "1") != "0":
         try:
             import jax.numpy as jnp

@@ -63,9 +63,19 @@ compile-OOM postmortem):
      comparison). Verification = one streaming period sweep + uniform
      chain-delta check; non-conforming texts fail loudly.
 
+  7. *LCP for free* (``want_lcp``): the carried keys hold each suffix's
+     first 2*spw symbols, so once sorted, adjacent xor + clz yields the
+     LCP array exactly for every pair that mismatches inside the window
+     — the same residue bound as the SA itself. Tied pairs take the
+     chain rule (periodic) or the host residue comparison (bounded).
+     This is the 1 GiB-class LCP path: a standalone LCP build would
+     need the same full-text sort as the SA.
+
 Behavioral parity: byte-identical suffix array to the reference's
-``build_suffix_array`` (src/sequential/manber_myers.c:81-133); this is an
-algorithmic replacement for scale, validated against the same oracles.
+``build_suffix_array`` (src/sequential/manber_myers.c:81-133) and LCP
+array to its Kasai builder (src/sequential/manber_myers.c:135-157);
+this is an algorithmic replacement for scale, validated against the
+same oracles.
 """
 
 from __future__ import annotations
@@ -350,13 +360,27 @@ def _scatter_chunk(m: int, spw: int, bits: int, W: int, keys: int,
     return k0B, k1B, idxB
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _bucket_sort(S: int, desc_idx: bool, k0B, k1B, idxB, base, n_b, n):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _bucket_sort(S: int, desc_idx: bool, want_lcp: bool, spw: int,
+                 bits: int, k0B, k1B, idxB, base, n_b, n,
+                 prev_k0, prev_k1):
     """Sort one contiguous bucket (reads slabs, writes nothing).
 
     Returns (sorted idx, tie flags int32, tie count, max tie delta,
-    delta-uniformity flag). Pads (iota >= n_b) get PAD keys and sort to
-    the end, so the first n_b outputs are the bucket's true order.
+    delta-uniformity flag, lcp int32[S], last sorted k0, last k1).
+    Pads (iota >= n_b) get PAD keys and sort to the end, so the first
+    n_b outputs are the bucket's true order.
+
+    ``want_lcp``: the carried keys hold each suffix's first 2*spw
+    symbols, so the adjacent first-mismatch (xor + count-leading-zeros
+    per word — the sorted-fetch LCP trick, core/lcp_window.py) yields
+    lcp[j] = LCP(sa[j-1], sa[j]) exactly for every non-tied pair.
+    ``prev_k0/prev_k1`` are the PREVIOUS live bucket's last sorted keys
+    (-1 before the first bucket: its all-bits xor lands above the packed
+    payload, clamping row 0 to the contract value lcp[0] = 0). Tied
+    pairs: in chain mode lcp = n - prev_idx exactly (consecutive chain
+    members, the lcp_window chain rule); ascending mode leaves the
+    2*spw lower bound for the host residue pass to overwrite.
     """
     big = jnp.int32(1) << 30
     iota = lax.iota(jnp.int32, S)
@@ -377,8 +401,30 @@ def _bucket_sort(S: int, desc_idx: bool, k0B, k1B, idxB, base, n_b, n):
     dmax = jnp.max(jnp.where(tie, delta, 0))
     dmin = jnp.min(jnp.where(tie, delta, big))
     delta_ok = (~jnp.any(tie)) | ((dmin == dmax) & (dmax >= 1))
+    if want_lcp:
+        depth = jnp.int32(2 * spw)
+        pk0 = jnp.concatenate([prev_k0.reshape(1), sk0[:-1]])
+        pk1 = jnp.concatenate([prev_k1.reshape(1), sk1[:-1]])
+        x0, x1 = pk0 ^ sk0, pk1 ^ sk1
+        # Highest set xor bit p => first differing symbol spw-1 - p//bits
+        # (symbols pack first-highest). Real keys are < 2^30 with zero
+        # bits above spw*bits, so sym >= 0 for them; the -1 sentinel row
+        # mismatches at bit 31, goes negative, and clamps to 0.
+        off0 = jnp.where(x0 != 0,
+                         spw - 1 - (31 - lax.clz(x0)) // bits, depth)
+        off1 = jnp.where(x1 != 0,
+                         2 * spw - 1 - (31 - lax.clz(x1)) // bits, depth)
+        lcp = jnp.maximum(jnp.where(x0 != 0, off0, off1), 0)
+        if desc_idx:
+            lcp = jnp.where(tie, n - prev_idx, lcp)
+        lcp32 = jnp.where(real, lcp, 0).astype(jnp.int32)
+        last_k0 = lax.dynamic_slice(sk0, (n_b - 1,), (1,))[0]
+        last_k1 = lax.dynamic_slice(sk1, (n_b - 1,), (1,))[0]
+    else:
+        lcp32 = jnp.zeros((1,), jnp.int32)
+        last_k0 = last_k1 = jnp.int32(-1)
     return (s_idx, tie.astype(jnp.int32), jnp.sum(tie.astype(jnp.int32)),
-            dmax, delta_ok.astype(jnp.int32))
+            dmax, delta_ok.astype(jnp.int32), lcp32, last_k0, last_k1)
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
@@ -392,6 +438,18 @@ def _bucket_write(S: int, idxB, k1B, s_idx, tie32, out_base):
     """
     return (lax.dynamic_update_slice(idxB, s_idx, (out_base,)),
             lax.dynamic_update_slice(k1B, tie32, (out_base,)))
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2, 3))
+def _bucket_write_lcp(S: int, idxB, k1B, k0B, s_idx, tie32, lcp32,
+                      out_base):
+    """``_bucket_write`` + the bucket's lcp column into k0B's dead key
+    storage. Same geometry invariant (out_base[b] + S_b <= base[b+1]),
+    so the lcp writes never touch a not-yet-read key region; after the
+    last bucket k0B[:n] IS the LCP array, aligned to idxB[:n]."""
+    return (lax.dynamic_update_slice(idxB, s_idx, (out_base,)),
+            lax.dynamic_update_slice(k1B, tie32, (out_base,)),
+            lax.dynamic_update_slice(k0B, lcp32, (out_base,)))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -556,15 +614,40 @@ def _suffix_less(arr: np.ndarray, a: int, b: int, n: int,
         off += L
 
 
+def _suffix_lcp(arr: np.ndarray, a: int, b: int, n: int,
+                step: int = 4096) -> int:
+    """Exact LCP of suffixes a and b by bounded windows (host)."""
+    off = 0
+    while True:
+        L = min(n - a - off, n - b - off, step)
+        if L <= 0:
+            return n - max(a, b)        # one is a prefix of the other
+        neq = np.flatnonzero(arr[a + off:a + off + L]
+                             != arr[b + off:b + off + L])
+        if len(neq):
+            return off + int(neq[0])
+        if L < step:
+            return n - max(a, b)
+        off += L
+
+
 def _resolve_residue_host(arr: np.ndarray, slots: np.ndarray,
-                          idxs: np.ndarray, n: int):
+                          idxs: np.ndarray, n: int, want_lcp: bool = False):
     """Exact order for one bucket's tied elements (host comparison).
 
     Groups are runs of CONSECUTIVE slots; order within each group =
-    full suffix order. Returns (ascending slots, idx aligned to them)."""
+    full suffix order. Returns (ascending slots, idx aligned to them,
+    lcp-patch slots, lcp-patch values). The lcp patches cover every
+    group-INTERNAL adjacent pair — exactly the tied pairs, whose
+    carried-key lcp is only the 2*spw lower bound. Group-boundary pairs
+    need no patch: all members share identical key words, so the
+    key-derived lcp of the pair at the group's edge is exact and
+    invariant under the reordering."""
     order = np.argsort(slots, kind="stable")
     slots, idxs = slots[order], idxs[order]
     out = np.empty_like(idxs)
+    lslots: list[int] = []
+    lvals: list[int] = []
     i = 0
     while i < len(slots):
         j = i + 1
@@ -574,12 +657,18 @@ def _resolve_residue_host(arr: np.ndarray, slots: np.ndarray,
         group.sort(key=functools.cmp_to_key(
             lambda a, b: -1 if _suffix_less(arr, a, b, n) else 1))
         out[i:j] = group
+        if want_lcp:
+            for g in range(1, j - i):
+                lslots.append(int(slots[i + g]))
+                lvals.append(_suffix_lcp(arr, group[g - 1], group[g], n))
         i = j
-    return slots, out
+    return slots, out, np.asarray(lslots, np.int64), np.asarray(lvals,
+                                                                np.int32)
 
 
 def execute_big(state, *, max_bucket_elems: int | None = None,
-                force_chain_mode: bool | None = None) -> jnp.ndarray:
+                force_chain_mode: bool | None = None,
+                want_lcp: bool = False) -> jnp.ndarray:
     """Run count + scatter + bucket passes; returns the SA (device int32[n]).
 
     Chain mode (descending tiebreak for globally periodic texts) is
@@ -587,6 +676,14 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
     write consumes the slabs, so the direction cannot be switched after
     the fact without redistributing (the misprediction fallbacks below
     do exactly that, once).
+
+    ``want_lcp``: also derive the LCP array from the carried sort keys
+    (adjacent xor+clz in the bucket pass, chain rule / host residue for
+    the bounded ties — see ``_bucket_sort``) and return ``(sa, lcp)``.
+    The reference contract always measures LCP_TIME alongside the build
+    (src/sequential/main_sequential.c:41-49); at 1 GiB this is the only
+    path — a standalone full-text sort for LCP would cost as much as
+    the build itself.
     """
     plan: BigPlan = state["plan"]
     text_pad = state["text_pad"]
@@ -664,12 +761,19 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
 
     # --- pass C: per-bucket sort + compact write ------------------------
     pend = []
+    prev_k0 = prev_k1 = jnp.int32(-1)   # sentinel: clamps lcp[0] to 0
     for b in live:
-        s_idx, tie32, ties, d, dok = _bucket_sort(
-            S_of[b], chain_mode, k0B, k1B, idxB, jnp.int32(base[b]),
-            jnp.int32(fills[b]), jnp.int32(n))
-        idxB, k1B = _bucket_write(
-            S_of[b], idxB, k1B, s_idx, tie32, jnp.int32(out_base[b]))
+        s_idx, tie32, ties, d, dok, lcp32, prev_k0, prev_k1 = _bucket_sort(
+            S_of[b], chain_mode, want_lcp, plan.spw, plan.bits,
+            k0B, k1B, idxB, jnp.int32(base[b]),
+            jnp.int32(fills[b]), jnp.int32(n), prev_k0, prev_k1)
+        if want_lcp:
+            idxB, k1B, k0B = _bucket_write_lcp(
+                S_of[b], idxB, k1B, k0B, s_idx, tie32, lcp32,
+                jnp.int32(out_base[b]))
+        else:
+            idxB, k1B = _bucket_write(
+                S_of[b], idxB, k1B, s_idx, tie32, jnp.int32(out_base[b]))
         pend.append((b, ties, d, dok))
     tie_counts = np.asarray(jax.device_get(
         jnp.stack([t for _, t, _, _ in pend])))              # ONE sync
@@ -691,7 +795,7 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
                     del idxB, k0B, k1B      # free before re-running
                     return execute_big(
                         state, max_bucket_elems=max_bucket_elems,
-                        force_chain_mode=False)
+                        force_chain_mode=False, want_lcp=want_lcp)
                 raise NotImplementedError(
                     f"bucket {b}: residual ties are not uniform arithmetic "
                     "chains - use the doubling kernel (<=256 MB) or the "
@@ -712,7 +816,7 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
         # slabs, so the passes must restart.
         del idxB, k0B, k1B                  # free before re-running
         return execute_big(state, max_bucket_elems=max_bucket_elems,
-                           force_chain_mode=True)
+                           force_chain_mode=True, want_lcp=want_lcp)
 
     # --- residue extraction (slots are global SA positions) -------------
     patches = []
@@ -734,19 +838,29 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
             patches.append((b, slots, idxs))
     _stamps.append(("residue_extract", time.perf_counter()))
 
-    # --- finish: idxB[:n] IS the SA; apply host-resolved residue --------
-    del k0B, k1B
+    # --- finish: idxB[:n] IS the SA (k0B[:n] the LCP); apply residue ----
+    # Frees are sequenced so peak memory stays ~3 slab-sized buffers
+    # (slice copies allocate before their source can be released).
+    del k1B
+    lcp = None
+    if want_lcp:
+        lcp = k0B[:n]
+    del k0B
     sa = idxB[:n]
     del idxB
     if patches:
         arr = state["host_text"]
         all_slots, all_vals = [], []
+        lcp_slots, lcp_vals = [], []
         for _b, slots, idxs in patches:
             if not len(slots):
                 continue
-            s_sorted, fixed = _resolve_residue_host(arr, slots, idxs, n)
+            s_sorted, fixed, ls, lv = _resolve_residue_host(
+                arr, slots, idxs, n, want_lcp=want_lcp)
             all_slots.append(s_sorted.astype(np.int64))
             all_vals.append(fixed)
+            lcp_slots.append(ls)
+            lcp_vals.append(lv)
         if all_slots:
             slots = np.concatenate(all_slots)
             vals = np.concatenate(all_vals)
@@ -756,6 +870,16 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
             ps[:len(slots)] = slots
             pv[:len(slots)] = vals
             sa = _apply_patch(sa, jnp.asarray(ps), jnp.asarray(pv))
+        if want_lcp and lcp_slots:
+            lslots = np.concatenate(lcp_slots)
+            lvals = np.concatenate(lcp_vals)
+            if len(lslots):
+                k = bucket_size(len(lslots))
+                ps = np.full(k, -1, np.int32)
+                pv = np.zeros(k, np.int32)
+                ps[:len(lslots)] = lslots
+                pv[:len(lslots)] = lvals
+                lcp = _apply_patch(lcp, jnp.asarray(ps), jnp.asarray(pv))
 
     plan.meta["n_buckets_run"] = len(live)
     plan.meta["chain_mode"] = chain_mode
@@ -767,10 +891,11 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
     plan.meta["phase_host_s"] = {
         name: round(t1 - t0, 3)
         for (_, t0), (name, t1) in zip(_stamps, _stamps[1:])}
-    return sa
+    return (sa, lcp) if want_lcp else sa
 
 
 def build_suffix_array_big(text, **kw) -> jnp.ndarray:
     """One-call build (see prepare_big/execute_big for the staged form)."""
-    exec_kw = {k: kw.pop(k) for k in ("max_bucket_elems",) if k in kw}
+    exec_kw = {k: kw.pop(k)
+               for k in ("max_bucket_elems", "want_lcp") if k in kw}
     return execute_big(prepare_big(text, **kw), **exec_kw)

@@ -167,6 +167,16 @@ def build_lcp_array(text, sa) -> jnp.ndarray:
     sort/gather class the TPU tunnel compiles in minutes, where the PLCP
     round program (scans + pointer-jumping gathers) costs hours of
     remote compile at benchmark shapes (measured r2; see TODO.md).
+
+    Beyond SA_LCP_BIG_MIN bytes (default 256 MiB) the sorted-fetch
+    path's full-text multi-operand sort no longer fits HBM; the LCP
+    comes from the out-of-core MSD machinery instead (core/bigsort.py
+    ``want_lcp`` — adjacent xor+clz on the carried sort keys). That
+    path re-derives the suffix order from the text, so the ``sa``
+    argument is only validated for shape there: for the (only
+    supported) case where ``sa`` is the text's true suffix array the
+    result is identical, matching the reference's Kasai contract which
+    equally assumes a correct SA (src/sequential/manber_myers.c:135).
     """
     import os
 
@@ -175,6 +185,13 @@ def build_lcp_array(text, sa) -> jnp.ndarray:
     if n == 0:
         return jnp.zeros((0,), jnp.int32)
     sa = jnp.asarray(sa, jnp.int32)
+    if sa.shape[0] != n:
+        raise ValueError(f"sa length {sa.shape[0]} != text length {n}")
+    if n > int(os.environ.get("SA_LCP_BIG_MIN", 1 << 28)):
+        from hpc_suffix_array_tpu.core.bigsort import build_suffix_array_big
+
+        _sa, lcp = build_suffix_array_big(arr, want_lcp=True)
+        return lcp
     if n > int(os.environ.get("SA_LCP_WINDOW_MIN", 1 << 22)):
         if os.environ.get("SA_LCP_FETCH", "sorted") == "window":
             from hpc_suffix_array_tpu.core.lcp_window import (

@@ -138,6 +138,92 @@ def _local_build(P: int, bits: int, spw: int, R: int, ranges,
     return s_idx, slots, res_idx, stats
 
 
+def _local_build_wide(P: int, bits: int, spw: int, R: int, ranges,
+                      text_u8, vals, n_hi, n_lo, desc):
+    """``_local_build`` with TWO-WORD global indices: the >=4 GiB path.
+
+    Global suffix index g = hi * m + lo (hi = shard id, lo = local
+    offset, both int32) — n up to P * 2^31 with no int64 sort operands
+    (TPU int64 is emulated 32-bit pairs; a 4-key int32 sort is the same
+    comparator work done natively). Descending order uses the exact
+    two-word complement (P*m - 1) - g = (P-1-hi, m-1-lo). Index compares
+    (real mask, tie deltas) are lexicographic (hi, lo) pairs; delta
+    uniformity is checked componentwise (all pairs equal <=> both
+    columns' pmax == pmin, since fills are 0 / +inf and deltas are
+    nonnegative). Returns per shard:
+    (s_hi[m], s_lo[m], slot_lo[R], res_hi[R], res_lo[R], stats[8]);
+    slots are LOCAL sorted offsets (-1 pads) — the host adds shard*m.
+    """
+    m = text_u8.shape[0]
+    me = lax.axis_index(SEQ_AXIS)
+    lo = lax.iota(jnp.int32, m)
+
+    def lt_n(hi, lo_):
+        return (hi < n_hi) | ((hi == n_hi) & (lo_ < n_lo))
+
+    codes = codes_from_bytes(text_u8, vals, ranges)
+    codes = jnp.where(lt_n(me, lo), codes, 0)
+    halo = lax.ppermute(codes[:2 * spw], SEQ_AXIS,
+                        [(i, i - 1) for i in range(1, P)])
+    ext = jnp.concatenate([codes, halo])
+    k0 = jnp.zeros((m,), jnp.int32)
+    k1 = jnp.zeros((m,), jnp.int32)
+    for s in range(spw):
+        k0 = (k0 << bits) | lax.slice(ext, (s,), (s + m,))
+        k1 = (k1 << bits) | lax.slice(ext, (spw + s,), (spw + s + m,))
+
+    real = lt_n(me, lo)
+    k0 = jnp.where(real, k0, PAD_KEY)
+    k1 = jnp.where(real, k1, PAD_KEY)
+    tbh = jnp.where(real, jnp.where(desc, P - 1 - me, me), _BIG)
+    tbl = jnp.where(real, jnp.where(desc, m - 1 - lo, lo), _BIG)
+
+    k0s, k1s, tbhs, tbls = block_bitonic_sort(
+        (k0, k1, tbh, tbl), num_keys=4, axis_name=SEQ_AXIS, n_shards=P)
+    real_s = (k0s != PAD_KEY) | (k1s != PAD_KEY)     # pads sort last
+    s_hi = jnp.where(real_s, jnp.where(desc, P - 1 - tbhs, tbhs), n_hi)
+    s_lo = jnp.where(real_s, jnp.where(desc, m - 1 - tbls, tbls), n_lo)
+
+    pk0, pk1, phi, plo = _boundary_prev((k0s, k1s, s_hi, s_lo),
+                                        SEQ_AXIS, P)
+    prev_k0 = jnp.concatenate([pk0[None], k0s[:-1]])
+    prev_k1 = jnp.concatenate([pk1[None], k1s[:-1]])
+    prev_hi = jnp.concatenate([phi[None], s_hi[:-1]])
+    prev_lo = jnp.concatenate([plo[None], s_lo[:-1]])
+    first_global = (me == 0) & (lo == 0)
+    tie = (k0s == prev_k0) & (k1s == prev_k1) & real_s & ~first_global
+    # delta = |g - g_prev| as a two-word (hi, lo) pair with borrow.
+    a_hi = jnp.where(desc, prev_hi, s_hi)
+    a_lo = jnp.where(desc, prev_lo, s_lo)
+    b_hi = jnp.where(desc, s_hi, prev_hi)
+    b_lo = jnp.where(desc, s_lo, prev_lo)
+    borrow = (a_lo < b_lo).astype(jnp.int32)
+    d_lo = a_lo - b_lo + borrow * m
+    d_hi = a_hi - b_hi - borrow
+    tie_cnt = lax.psum(jnp.sum(tie.astype(jnp.int32)), SEQ_AXIS)
+    dmax_hi = lax.pmax(jnp.max(jnp.where(tie, d_hi, 0)), SEQ_AXIS)
+    dmin_hi = lax.pmin(jnp.min(jnp.where(tie, d_hi, _BIG)), SEQ_AXIS)
+    dmax_lo = lax.pmax(jnp.max(jnp.where(tie, d_lo, 0)), SEQ_AXIS)
+    dmin_lo = lax.pmin(jnp.min(jnp.where(tie, d_lo, _BIG)), SEQ_AXIS)
+
+    nxt0 = lax.ppermute(tie[:1].astype(jnp.int32), SEQ_AXIS,
+                        [(i, i - 1) for i in range(1, P)])[0]
+    next_tie = jnp.concatenate([tie[1:].astype(jnp.int32), nxt0[None]])
+    member = (tie | (next_tie > 0)) & real_s
+    keyed = jnp.where(member, lo, _BIG)
+    o_slot, o_hi, o_lo = lax.sort((keyed, s_hi, s_lo), num_keys=1)
+    k = min(R, m)
+    slot_lo = jnp.where(o_slot[:k] < _BIG, o_slot[:k], -1)
+    slot_lo = jnp.concatenate([slot_lo, jnp.full((R - k,), -1, jnp.int32)])
+    res_hi = jnp.concatenate([o_hi[:k], jnp.zeros((R - k,), jnp.int32)])
+    res_lo = jnp.concatenate([o_lo[:k], jnp.zeros((R - k,), jnp.int32)])
+    res_cnt = jnp.sum(member.astype(jnp.int32))
+    stats = jnp.stack([tie_cnt, dmax_hi, dmin_hi, dmax_lo, dmin_lo,
+                       res_cnt, (res_cnt > R).astype(jnp.int32),
+                       jnp.int32(0)])
+    return s_hi, s_lo, slot_lo, res_hi, res_lo, stats
+
+
 @functools.cache
 def _kernels(mesh: Mesh, bits: int, spw: int, ranges):
     P = int(mesh.devices.size)
@@ -153,15 +239,37 @@ def _kernels(mesh: Mesh, bits: int, spw: int, ranges):
     return jax.jit(f)
 
 
+@functools.cache
+def _kernels_wide(mesh: Mesh, bits: int, spw: int, ranges):
+    P = int(mesh.devices.size)
+    spec = PartitionSpec(SEQ_AXIS)
+    rep = PartitionSpec()
+    f = jax.shard_map(
+        functools.partial(_local_build_wide, P, bits, spw, RESIDUE_SLOTS,
+                          ranges),
+        mesh=mesh,
+        in_specs=(spec, rep, rep, rep, rep),
+        out_specs=(spec, spec, spec, spec, spec, spec),
+        check_vma=False)
+    return jax.jit(f)
+
+
 def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
-                                   force_chain_mode: bool | None = None
-                                   ) -> jnp.ndarray:
+                                   force_chain_mode: bool | None = None,
+                                   wide_index: bool | None = None):
     """Suffix array of ``text`` via ONE distributed carried-keys sort.
 
     Returns the sharded int32[n] suffix array. Raises NotImplementedError
     on inputs whose tie structure exceeds the bounded residue and is not
     a clean periodic chain — callers fall back to
     ``build_suffix_array_sharded`` (the doubling path handles any skew).
+
+    ``wide_index``: two-word (hi, lo) global indices for texts past the
+    int32 range — the >=4 GiB ladder config (BASELINE.md). Auto-enabled
+    when n (plus padding) nears 2^31; forcible for tests. Wide builds
+    return a HOST int64[n] array (this convenience API materializes the
+    result anyway; a production multi-host pipeline would keep the
+    per-shard (hi, lo) columns on device — see _local_build_wide).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -178,6 +286,11 @@ def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
         chain = estimate_repeat_len(arr) > 2 * spw
 
     n_pad = bucket_size(n, multiple_of=P * 128)
+    if wide_index is None:
+        wide_index = n_pad >= (1 << 31) - 1
+    if wide_index:
+        return _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw,
+                           ranges, chain, force_chain_mode)
     text_pad = np.zeros(n_pad, np.uint8)
     text_pad[:n] = arr
     text_d = jax.device_put(text_pad, sequence_sharding(mesh))
@@ -224,9 +337,73 @@ def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
         idx_h = np.asarray(jax.device_get(res_idx))
         keep = slots_h >= 0
         if keep.any():
-            s_sorted, fixed = _resolve_residue_host(
+            s_sorted, fixed, _ls, _lv = _resolve_residue_host(
                 arr, slots_h[keep].astype(np.int64), idx_h[keep], n)
             ok = s_sorted < n          # pads never join groups, but guard
             sa = sa.at[jnp.asarray(s_sorted[ok].astype(np.int32))].set(
                 jnp.asarray(fixed[ok].astype(np.int32)))
+    return sa
+
+
+def _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw, ranges, chain,
+                force_chain_mode):
+    """Wide-index (two-word) sharded build; returns host int64[n]."""
+    m = n_pad // P
+    text_pad = np.zeros(n_pad, np.uint8)
+    text_pad[:n] = arr
+    text_d = jax.device_put(text_pad, sequence_sharding(mesh))
+    vals_d = jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8))
+
+    kern = _kernels_wide(mesh, bits, spw, ranges)
+    s_hi, s_lo, slot_lo, res_hi, res_lo, stats = kern(
+        text_d, vals_d, jnp.int32(n // m), jnp.int32(n % m),
+        jnp.bool_(chain))
+    st = np.asarray(jax.device_get(stats)).reshape(P, 8)
+    tie_cnt = int(st[0, 0])
+    dmax_hi, dmin_hi, dmax_lo, dmin_lo = (int(x) for x in st[0, 1:5])
+
+    sa = (np.asarray(jax.device_get(s_hi)).astype(np.int64) * m
+          + np.asarray(jax.device_get(s_lo)))[:n]
+
+    if chain:
+        if tie_cnt:
+            uniform = (dmax_hi == dmin_hi) and (dmax_lo == dmin_lo)
+            d = dmax_hi * m + dmax_lo
+            if not uniform or d < 1:
+                if force_chain_mode is None and tie_cnt <= n // 4:
+                    return build_suffix_array_sharded_big(
+                        arr, mesh, force_chain_mode=False,
+                        wide_index=True)
+                raise NotImplementedError(
+                    "sharded bigsort[wide]: residual ties are not "
+                    "uniform arithmetic chains - use the doubling "
+                    "builder")
+            if np.any(arr[:-d] != arr[d:]):
+                raise NotImplementedError(
+                    f"sharded bigsort[wide]: chain delta {d} is not a "
+                    "global period - use the doubling builder")
+        return sa
+
+    if tie_cnt > n // 4 and force_chain_mode is None:
+        return build_suffix_array_sharded_big(arr, mesh,
+                                              force_chain_mode=True,
+                                              wide_index=True)
+    if np.any(st[:, 6]):
+        raise NotImplementedError(
+            "sharded bigsort[wide]: window-tied elements exceed the "
+            "per-shard residue cap - use the doubling builder")
+
+    if tie_cnt:
+        # Shard s's slot block is local; globalize with s * m.
+        slots_h = np.asarray(jax.device_get(slot_lo)).astype(np.int64)
+        shard_of = np.repeat(np.arange(P, dtype=np.int64), RESIDUE_SLOTS)
+        keep = slots_h >= 0
+        slots_g = slots_h[keep] + shard_of[keep] * m
+        idx_g = (np.asarray(jax.device_get(res_hi)).astype(np.int64) * m
+                 + np.asarray(jax.device_get(res_lo)))[keep]
+        if keep.any():
+            s_sorted, fixed, _ls, _lv = _resolve_residue_host(
+                arr, slots_g, idx_g, n)
+            ok = s_sorted < n
+            sa[s_sorted[ok]] = fixed[ok]
     return sa

@@ -188,3 +188,72 @@ def test_replan_edges_device_path(rng):
     replan_edges(state)
     sa = np.asarray(execute_big(dict(state)))
     assert np.array_equal(sa, np.asarray(suffix_array_oracle(text.tobytes())))
+
+
+# --- want_lcp: LCP derived from the carried sort keys ------------------
+
+def _check_lcp(text):
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    sa, lcp = build_suffix_array_big(np.asarray(text), want_lcp=True,
+                                     **TINY)
+    sa, lcp = np.asarray(sa), np.asarray(lcp)
+    ref = np.asarray(suffix_array_oracle(bytes(text)))
+    assert np.array_equal(sa, ref)
+    assert np.array_equal(lcp, np.asarray(lcp_oracle(np.asarray(text), ref)))
+
+
+def test_lcp_random_bytes(rng):
+    _check_lcp(rng.integers(0, 256, 40_000).astype(np.uint8))
+
+
+def test_lcp_alnum(rng):
+    _check_lcp(ALNUM[rng.integers(0, 62, 40_000)])
+
+
+def test_lcp_dna(rng):
+    _check_lcp(np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 40_000)])
+
+
+def test_lcp_long_repeats_host_residue(rng):
+    """Tied pairs (lcp beyond the carried 2*spw symbols) take the exact
+    host comparison through the residue patch path."""
+    text = ALNUM[rng.integers(0, 62, 30_000)]
+    block = ALNUM[rng.integers(0, 62, 60)]
+    for at in (1000, 7777, 15000, 22222):
+        text[at:at + 60] = block
+    _check_lcp(text)
+
+
+def test_lcp_periodic_chain(rng):
+    """Chain mode: tied pairs are chain neighbors, lcp = n - sa[j-1]."""
+    _check_lcp(np.tile(ALNUM[rng.integers(0, 62, 1000)], 40))
+    _check_lcp(np.tile(ALNUM[rng.integers(0, 62, 997)], 41)[:40_000])
+
+
+def test_lcp_degenerate(rng):
+    _check_lcp(np.tile(np.frombuffer(b"ab", np.uint8), 15_000))
+    _check_lcp(np.full(30_000, ord("a"), np.uint8))
+
+
+def test_lcp_staged_matches_oneshot(rng):
+    text = ALNUM[rng.integers(0, 62, 20_000)]
+    state = prepare_big(text, **TINY)
+    sa1, lcp1 = execute_big(state, want_lcp=True)
+    _, lcp2 = build_suffix_array_big(text, want_lcp=True, **TINY)
+    assert np.array_equal(np.asarray(lcp1), np.asarray(lcp2))
+    assert np.array_equal(
+        np.asarray(sa1), np.asarray(suffix_array_oracle(text.tobytes())))
+
+
+def test_build_lcp_array_routes_big(rng, monkeypatch):
+    """build_lcp_array routes texts past SA_LCP_BIG_MIN through the
+    carried-keys path and matches the Kasai oracle."""
+    from hpc_suffix_array_tpu.core.lcp import build_lcp_array
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    monkeypatch.setenv("SA_LCP_BIG_MIN", "10000")
+    text = ALNUM[rng.integers(0, 62, 20_000)]
+    sa = np.asarray(suffix_array_oracle(text.tobytes()))
+    lcp = np.asarray(build_lcp_array(text, sa))
+    assert np.array_equal(lcp, np.asarray(lcp_oracle(text, sa)))

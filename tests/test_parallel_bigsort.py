@@ -95,3 +95,42 @@ def test_mesh_shape_invariance(rng):
     for p in (1, 2, 4, 8):
         sa = np.asarray(build_suffix_array_sharded_big(text, make_mesh(p)))
         assert np.array_equal(sa, ref), f"mesh={p}"
+
+
+# --- wide-index (two-word global index) mode: the >=4 GiB path ---------
+
+def test_wide_random_alnum(mesh8, rng):
+    _check(ALNUM[rng.integers(0, 62, 8 * 4096)], mesh8, wide_index=True)
+
+
+def test_wide_random_bytes(mesh8, rng):
+    _check(rng.integers(0, 256, 3 * 4096).astype(np.uint8), mesh8,
+           wide_index=True)
+
+
+def test_wide_periodic_chain(mesh8, rng):
+    _check(np.tile(ALNUM[rng.integers(0, 62, 500)], 60), mesh8,
+           wide_index=True)
+
+
+def test_wide_all_same_char(mesh8):
+    _check(np.full(8 * 1024, ord("a"), np.uint8), mesh8, wide_index=True)
+
+
+def test_wide_residue_patch(mesh8, rng):
+    text = ALNUM[rng.integers(0, 62, 8 * 2048)]
+    block = ALNUM[rng.integers(0, 62, 64)]
+    for at in (100, 5000, 9000, 13000):
+        text[at:at + 64] = block
+    _check(text, mesh8, wide_index=True)
+
+
+def test_wide_matches_narrow(mesh8, rng):
+    """Same input, both index widths: identical arrays (dtype aside)."""
+    text = ALNUM[rng.integers(0, 62, 8 * 2048)]
+    wide = np.asarray(build_suffix_array_sharded_big(
+        text, mesh8, wide_index=True))
+    narrow = np.asarray(build_suffix_array_sharded_big(
+        text, mesh8, wide_index=False))
+    assert wide.dtype == np.int64
+    assert np.array_equal(wide, narrow.astype(np.int64))
