@@ -350,6 +350,13 @@ def _scatter_chunk(m: int, spw: int, bits: int, W: int, keys: int,
         (jnp.concatenate([k0, padk]), jnp.concatenate([k1, padk]),
          jnp.concatenate([pos, padk])),
         num_keys=keys, is_stable=False)
+    # Fence the sorted arrays before the window loop: without it XLA
+    # fuses/remats the window slices into the sort's output copies and
+    # the pass runs 134.6 ms/chunk vs 68.9 with the barrier — the
+    # barrier alone is worth ~4.3 s at the 1 GiB config (measured v5e
+    # 2026-08-18, experiments/scatter_split_ab.py; stages in isolation:
+    # codes 2.6 + sort 66.8 + windows ~3 ms).
+    s_k0, s_k1, s_idx = lax.optimization_barrier((s_k0, s_k1, s_idx))
     for b in range(NB):
         k0B = lax.dynamic_update_slice(
             k0B, lax.dynamic_slice(s_k0, (bnd[b],), (W,)), (dest[b],))
