@@ -227,7 +227,8 @@ def replan_edges(state, text=None) -> None:
         return
     plan.e0, plan.e1 = sample_edges(
         np.asarray(text if text is not None else state["host_text"]),
-        plan.remap, plan.spw, plan.bits, 1 << 24)
+        plan.remap, plan.spw, plan.bits,
+        plan.meta.get("target_bucket", 1 << 23))
 
 
 def _dev_pack_word(codes_ext, offset: int, spw: int, bits: int, m: int):
@@ -281,39 +282,54 @@ def codes_from_bytes(ext, vals, ranges):
 
 
 def _chunk_codes(m: int, spw: int, bits: int, text_pad, vals, start, n,
-                 static_start: int | None = None, ranges=None):
-    """(k0, k1) carried key words for one chunk (see codes_from_bytes)."""
+                 static_start: int | None = None, ranges=None,
+                 k1_too: bool = True):
+    """(k0, k1) carried key words for one chunk (see codes_from_bytes).
+
+    ``k1_too=False`` skips the second word (k0-only consumers like the
+    count fast path)."""
+    w = 2 * spw if k1_too else spw
     if static_start is None:
         ext = lax.dynamic_slice(text_pad, (start,), (m + 2 * spw,))
     else:
         ext = lax.slice(text_pad, (static_start,),
-                        (static_start + m + 2 * spw,))
-    pos_ext = start + lax.iota(jnp.int32, m + 2 * spw)
-    codes = codes_from_bytes(ext, vals, ranges)
+                        (static_start + m + w,))
+    pos_ext = start + lax.iota(jnp.int32, m + w)
+    codes = codes_from_bytes(ext[:m + w], vals, ranges)
     codes = jnp.where(pos_ext < n, codes, 0)
     k0 = _dev_pack_word(codes, 0, spw, bits, m)
-    k1 = _dev_pack_word(codes, spw, spw, bits, m)
+    k1 = _dev_pack_word(codes, spw, spw, bits, m) if k1_too else None
     return k0, k1
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 9))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 9, 10))
 def _count_chunks(C: int, m: int, spw: int, bits: int, text_pad, vals,
-                  e0, e1, n, ranges=None):
+                  e0, e1, n, ranges=None, k0_only: bool = False):
     """(C, E) histogram rows cnt_ge[c, e] = #{real pairs >= edge e}, ONE
     dispatch. Per-bucket run lengths follow on the host by differencing
     (bid is the number of edges at or below the pair, so bid >= e+1 is
     exactly pair >= edge_e). Built from pack + compare + reduce only —
     no sort, no gather — so it is cheap to run and cheap for the tunnel
-    to compile; the (m, E) compare fuses into its column reduction.
+    to compile. ``k0_only`` (host-known: e1 all zeros) compares the
+    first word alone and skips packing k1 — the (m, E) compare work is
+    the pass's cost and this cuts it ~3x (the compare is n x E; at the
+    1 GiB geometry E=127 the full pair compare measured 1.05 s).
     """
     rows = []
     for c in range(C):
-        k0, k1 = _chunk_codes(m, spw, bits, text_pad, vals,
+        if k0_only:
+            k0 = _chunk_codes(m, spw, bits, text_pad, vals,
                               jnp.int32(c * m), n, static_start=c * m,
-                              ranges=ranges)
-        ok = (c * m + lax.iota(jnp.int32, m)) < n
-        ge = ((k0[:, None] > e0) | ((k0[:, None] == e0)
-                                    & (k1[:, None] >= e1))) & ok[:, None]
+                              ranges=ranges, k1_too=False)[0]
+            ok = (c * m + lax.iota(jnp.int32, m)) < n
+            ge = (k0[:, None] >= e0) & ok[:, None]
+        else:
+            k0, k1 = _chunk_codes(m, spw, bits, text_pad, vals,
+                                  jnp.int32(c * m), n, static_start=c * m,
+                                  ranges=ranges)
+            ok = (c * m + lax.iota(jnp.int32, m)) < n
+            ge = ((k0[:, None] > e0) | ((k0[:, None] == e0)
+                                        & (k1[:, None] >= e1))) & ok[:, None]
         rows.append(jnp.sum(ge.astype(jnp.int32), axis=0))
     return jnp.stack(rows)
 
@@ -397,6 +413,10 @@ def _bucket_sort(S: int, desc_idx: bool, want_lcp: bool, spw: int,
     idx = lax.dynamic_slice(idxB, (base,), (S,))
     tb = jnp.where(ok, (n - idx) if desc_idx else idx, big)
     sk0, sk1, st = lax.sort((k0, k1, tb), num_keys=3)
+    # No post-sort fence here: unlike _scatter_chunk's window writes,
+    # these consumers are elementwise and an optimization_barrier
+    # measured exactly neutral (5.23 vs 5.22 s pass total at 2^30,
+    # experiments/bucket_barrier_ab.py, 2026-08-18).
     s_idx = (n - st) if desc_idx else st
     real = iota < n_b                         # valid sorted first
     tie = (sk0 == jnp.concatenate([sk0[:1], sk0[:-1]])) & \
@@ -550,16 +570,19 @@ def chunk_geometry(n: int, chunk_elems: int | None = None
     shape ``prepare_big`` expects and skip staging entirely.
     """
     if chunk_elems is None:
-        # Above ~0.5 GiB the scatter-sort temporaries (~9 int32 arrays
-        # of m) must shrink so slabs + text + temporaries stay under the
-        # ~15.6 GiB usable v5e HBM (measured).
-        chunk_elems = 1 << 24 if n > 1 << 29 else 1 << 25
+        # Above ~0.5 GiB: 2^23 chunks measured fastest at the 1 GiB
+        # config (bitonic sort cost per element falls with size:
+        # scatter 4.46 s at m=2^24 -> 3.95 s at 2^23, and the smaller
+        # temporaries give HBM headroom; experiments/bucket_barrier_ab
+        # 2026-08-18). Below, keep fewer/larger chunks — the per-chunk
+        # fixed costs dominate sooner.
+        chunk_elems = 1 << 23 if n > 1 << 29 else 1 << 25
     m = bucket_size(min(chunk_elems, n))
     n_chunks = -(-n // m)
     return m, n_chunks, n_chunks * m + HALO
 
 
-def prepare_big(text, *, target_bucket: int = 1 << 24,
+def prepare_big(text, *, target_bucket: int = 1 << 23,
                 chunk_elems: int | None = None, sample: int = 1 << 21,
                 text_dev=None):
     """Stage the text on device and build the host plan (untimed setup).
@@ -590,7 +613,8 @@ def prepare_big(text, *, target_bucket: int = 1 << 24,
     return {
         "plan": BigPlan(n=n, m=m, n_chunks=n_chunks, bits=bits, spw=spw,
                         remap=remap, e0=e0, e1=e1,
-                        meta={"est_repeat": estimate_repeat_len(arr)}),
+                        meta={"est_repeat": estimate_repeat_len(arr),
+                              "target_bucket": target_bucket}),
         "text_pad": text_dev,
         # Device remap inputs: static byte ranges when the alphabet is
         # piecewise contiguous, else present values for the compare-sum
@@ -705,7 +729,8 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
     # --- pass A: count ------------------------------------------------
     cnt_ge = np.asarray(jax.device_get(_count_chunks(
         C, m, plan.spw, plan.bits, text_pad, vals_d, e0, e1,
-        jnp.int32(n), ranges))).astype(np.int64)             # (C, E)
+        jnp.int32(n), ranges,
+        not bool(plan.e1.any())))).astype(np.int64)          # (C, E)
     real = np.minimum(m, np.maximum(0, n - np.arange(C) * m))
     full = np.concatenate(
         [real[:, None], cnt_ge, np.zeros((C, 1), np.int64)], axis=1)
