@@ -86,7 +86,7 @@ def measure_tpu(n: int, reps: int) -> float:
         alphabet_remap, bucket_size, suffix_array_from_bytes_kernel)
     from hpc_suffix_array_tpu.utils.twin import twin_corpus
 
-    if n > int(os.environ.get("SA_BIG_THRESHOLD", 1 << 28)):
+    if n > int(os.environ.get("SA_BIG_THRESHOLD", 1 << 24)):
         from hpc_suffix_array_tpu.core.bigsort import (
             chunk_geometry, execute_big, prepare_big, replan_edges)
 
@@ -219,8 +219,8 @@ def main() -> None:
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     # BASELINE.md's primary metric is bytes/sec/chip on 1 GiB text —
-    # that is the default headline config (the out-of-core MSD path;
-    # measured 74 MB/s on v5e). SA_BENCH_BYTES overrides.
+    # that is the default headline config (the carried-keys MSD path;
+    # measured 124.5 MB/s on v5e). SA_BENCH_BYTES overrides.
     default_n = 1 << 30 if on_tpu else 1 << 20
     n = int(os.environ.get("SA_BENCH_BYTES", default_n))
     reps = int(os.environ.get("SA_BENCH_REPS", "3"))

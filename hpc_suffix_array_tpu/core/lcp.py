@@ -168,15 +168,19 @@ def build_lcp_array(text, sa) -> jnp.ndarray:
     round program (scans + pointer-jumping gathers) costs hours of
     remote compile at benchmark shapes (measured r2; see TODO.md).
 
-    Beyond SA_LCP_BIG_MIN bytes (default 256 MiB) the sorted-fetch
-    path's full-text multi-operand sort no longer fits HBM; the LCP
-    comes from the out-of-core MSD machinery instead (core/bigsort.py
-    ``want_lcp`` — adjacent xor+clz on the carried sort keys). That
-    path re-derives the suffix order from the text, so the ``sa``
-    argument is only validated for shape there: for the (only
-    supported) case where ``sa`` is the text's true suffix array the
-    result is identical, matching the reference's Kasai contract which
-    equally assumes a correct SA (src/sequential/manber_myers.c:135).
+    Beyond SA_LCP_BIG_MIN bytes (default 128 MiB) the LCP comes from
+    the carried-keys MSD machinery instead (core/bigsort.py
+    ``want_lcp`` — adjacent xor+clz on the carried sort keys): even
+    though that path re-derives the suffix order from the text, the
+    full SA+LCP rebuild outruns the standalone sorted-fetch pass there
+    (v5e: 108.9 vs 94.6 MB/s at 2^27, 113.8 vs 86.4 at 2^28 — the
+    sorted-fetch permutation sorts can't chunk, so their per-element
+    bitonic cost grows with n), and beyond 256 MiB the sorted-fetch
+    multi-operand sort stops fitting HBM anyway. The ``sa`` argument is
+    only validated for shape there: for the (only supported) case where
+    ``sa`` is the text's true suffix array the result is identical,
+    matching the reference's Kasai contract which equally assumes a
+    correct SA (src/sequential/manber_myers.c:135).
     """
     import os
 
@@ -187,7 +191,7 @@ def build_lcp_array(text, sa) -> jnp.ndarray:
     sa = jnp.asarray(sa, jnp.int32)
     if sa.shape[0] != n:
         raise ValueError(f"sa length {sa.shape[0]} != text length {n}")
-    if n > int(os.environ.get("SA_LCP_BIG_MIN", 1 << 28)):
+    if n > int(os.environ.get("SA_LCP_BIG_MIN", 1 << 27)):
         from hpc_suffix_array_tpu.core.bigsort import build_suffix_array_big
 
         _sa, lcp = build_suffix_array_big(arr, want_lcp=True)

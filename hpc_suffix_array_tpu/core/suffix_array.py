@@ -233,10 +233,14 @@ def build_suffix_array(text) -> jnp.ndarray:
     (manber_myers.c:83-85).
 
     Routing (see core/bigsort.py):
-      * n > SA_BIG_THRESHOLD (default 256 MiB): the out-of-core MSD
-        bucket sort — the doubling kernel's ~30 B/char working set
-        exceeds single-chip HBM there (~15.6 GiB usable on v5e,
-        measured);
+      * n > SA_BIG_THRESHOLD (default 16 MiB): the carried-keys MSD
+        bucket sort — measured faster than the doubling kernel at every
+        size above the threshold (v5e, random alnum: 81 vs 66 MB/s at
+        2^25, 110 vs 63 at 2^27, 124.5 at 2^30 where the doubling
+        kernel's ~30 B/char working set no longer fits the ~15.6 GiB
+        usable HBM; experiments/routing_ab.py 2026-08-18). Degenerate
+        texts the MSD path declines (bucket skew, irregular residues)
+        fall back to the doubling kernel while it fits (<= 256 MiB);
       * n > SA_CHAIN_MIN (default 4 MiB) with long repeats detected by a
         host-side sample: the bucket sort's periodic-chain resolution,
         which replaces the doubling loop's log2(n) rounds on periodic
@@ -249,11 +253,15 @@ def build_suffix_array(text) -> jnp.ndarray:
     n = int(arr.shape[0])
     if n == 0:
         return jnp.zeros((0,), jnp.int32)
-    big_threshold = int(os.environ.get("SA_BIG_THRESHOLD", 1 << 28))
+    big_threshold = int(os.environ.get("SA_BIG_THRESHOLD", 1 << 24))
     if n > big_threshold:
         from hpc_suffix_array_tpu.core.bigsort import build_suffix_array_big
-        return build_suffix_array_big(arr)
-    if n > int(os.environ.get("SA_CHAIN_MIN", 1 << 22)):
+        try:
+            return build_suffix_array_big(arr)
+        except NotImplementedError:
+            if n > 1 << 28:       # no doubling fallback fits HBM there
+                raise             # (the sharded builder handles these)
+    elif n > int(os.environ.get("SA_CHAIN_MIN", 1 << 22)):
         from hpc_suffix_array_tpu.core.bigsort import (
             build_suffix_array_big, estimate_repeat_len)
         if estimate_repeat_len(arr) > 3 * 16:   # beyond one-pass windows
