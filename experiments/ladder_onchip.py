@@ -33,7 +33,7 @@ def measure(tag, arr, reps=2):
 
     n = len(arr)
     rep = estimate_repeat_len(arr)
-    if rep > 48:
+    if rep > 48 or n > (1 << 24):   # build_suffix_array's MSD routing
         state = prepare_big(arr)
         sa = execute_big(dict(state))                     # warmup/compile
         jax.device_get(sa[-1])

@@ -662,6 +662,9 @@ def _suffix_lcp(arr: np.ndarray, a: int, b: int, n: int,
         off += L
 
 
+RESIDUE_WIN = 64     # bytes compared vectorized before the exact fallback
+
+
 def _resolve_residue_host(arr: np.ndarray, slots: np.ndarray,
                           idxs: np.ndarray, n: int, want_lcp: bool = False):
     """Exact order for one bucket's tied elements (host comparison).
@@ -673,28 +676,66 @@ def _resolve_residue_host(arr: np.ndarray, slots: np.ndarray,
     carried-key lcp is only the 2*spw lower bound. Group-boundary pairs
     need no patch: all members share identical key words, so the
     key-derived lcp of the pair at the group's edge is exact and
-    invariant under the reordering."""
+    invariant under the reordering.
+
+    Vectorized: one RESIDUE_WIN-byte window fetch per member (past-end
+    as -1, so a shorter suffix that is a prefix orders first — the
+    strcmp semantics of the reference, manber_myers.c:195), np.lexsort
+    within groups, and a bounded exact-comparison fallback for the rare
+    pairs equal through the whole window (a per-pair Python loop here
+    measured ~1.5 s on 65k tied pairs, DNA 2^28)."""
     order = np.argsort(slots, kind="stable")
     slots, idxs = slots[order], idxs[order]
-    out = np.empty_like(idxs)
-    lslots: list[int] = []
-    lvals: list[int] = []
-    i = 0
-    while i < len(slots):
-        j = i + 1
-        while j < len(slots) and slots[j] == slots[j - 1] + 1:
-            j += 1
-        group = idxs[i:j].tolist()
-        group.sort(key=functools.cmp_to_key(
-            lambda a, b: -1 if _suffix_less(arr, a, b, n) else 1))
-        out[i:j] = group
-        if want_lcp:
-            for g in range(1, j - i):
-                lslots.append(int(slots[i + g]))
-                lvals.append(_suffix_lcp(arr, group[g - 1], group[g], n))
-        i = j
-    return slots, out, np.asarray(lslots, np.int64), np.asarray(lvals,
-                                                                np.int32)
+    P = len(slots)
+    if P == 0:
+        return slots, idxs, np.zeros(0, np.int64), np.zeros(0, np.int32)
+    gid = np.cumsum(np.r_[np.int64(0),
+                          (np.diff(slots) != 1).astype(np.int64)])
+    K = RESIDUE_WIN
+    pos = idxs.astype(np.int64)[:, None] + np.arange(K, dtype=np.int64)
+    valid = pos < n
+    win = np.where(valid, arr[np.minimum(pos, n - 1)].astype(np.int16),
+                   np.int16(-1))
+    # lexsort: last key is primary -> (gid, win[:,0], ..., win[:,K-1]).
+    o2 = np.lexsort([win[:, k] for k in range(K - 1, -1, -1)] + [gid])
+    out = idxs[o2]
+    win_s, valid_s, gid_s = win[o2], valid[o2], gid[o2]
+    same_g = gid_s[1:] == gid_s[:-1]
+    eq_win = (win_s[1:] == win_s[:-1]).all(axis=1)
+    # Pairs equal through the full window with both suffixes extending
+    # past it are undecided by the lexsort: fix their runs exactly.
+    undecided = same_g & eq_win & valid_s[1:, K - 1] & valid_s[:-1, K - 1]
+    if undecided.any():
+        run_edges = np.flatnonzero(np.diff(
+            np.r_[False, undecided, False].astype(np.int8)))
+        for lo, hi in zip(run_edges[::2], run_edges[1::2]):
+            seg = out[lo:hi + 1].tolist()      # undecided run + its tail
+            seg.sort(key=functools.cmp_to_key(
+                lambda a, b: -1 if _suffix_less(arr, a, b, n) else 1))
+            out[lo:hi + 1] = seg
+    if not want_lcp:
+        return slots, out, np.zeros(0, np.int64), np.zeros(0, np.int32)
+    # LCP for every group-internal adjacent pair of the FINAL order.
+    pos = out.astype(np.int64)[:, None] + np.arange(K, dtype=np.int64)
+    valid = pos < n
+    win = np.where(valid, arr[np.minimum(pos, n - 1)].astype(np.int16),
+                   np.int16(-1))
+    neq = win[1:] != win[:-1]
+    has_mm = neq.any(axis=1)
+    first_mm = np.argmax(neq, axis=1)
+    # No mismatch in-window: either one suffix ended inside (lcp = its
+    # length) or both extend (exact fallback below).
+    shorter = np.minimum(n - out[1:].astype(np.int64),
+                         n - out[:-1].astype(np.int64))
+    lv = np.where(has_mm, first_mm, np.minimum(shorter, K)).astype(np.int64)
+    internal = np.flatnonzero(same_g)
+    lslots = slots[internal + 1].astype(np.int64)
+    lvals = lv[internal]
+    deep = internal[(~has_mm[internal]) & (shorter[internal] > K)]
+    for j in deep:
+        lvals[np.searchsorted(internal, j)] = _suffix_lcp(
+            arr, int(out[j]), int(out[j + 1]), n)
+    return slots, out, lslots, lvals.astype(np.int32)
 
 
 def execute_big(state, *, max_bucket_elems: int | None = None,
@@ -851,23 +892,40 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
                            force_chain_mode=True, want_lcp=want_lcp)
 
     # --- residue extraction (slots are global SA positions) -------------
+    # Enqueue every tied bucket's extraction, then fetch ONCE: the
+    # per-bucket sync pattern cost 3 tunnel round-trips per bucket and
+    # dominated heavy-residue corpora (DNA at 2^28: ~65k tied pairs over
+    # 32 buckets measured 42.5 MB/s; batched fetch removes ~O(buckets)
+    # RTTs from the critical path).
     patches = []
     if not chain_mode:
+        pend_ex = []                      # (bucket, k, slots_d, idx_d, tot_d)
         for (b, _, _, _), tc in zip(pend, tie_counts):
             if tc == 0:
                 continue
-            slots_d, idx_d, total = _extract_ties(
+            slots_d, idx_d, total_d = _extract_ties(
                 S_of[b], k1B, idxB, jnp.int32(out_base[b]),
                 jnp.int32(fills[b]))
-            total = int(jax.device_get(total))
-            if total > RESIDUE_SLOTS:
-                raise NotImplementedError(
-                    f"bucket {b}: {total} window-tied elements exceed the "
-                    "host-residue cap - use the doubling kernel "
-                    "(<=256 MB) or the sharded multi-chip build")
-            slots = np.asarray(jax.device_get(slots_d))[:total]
-            idxs = np.asarray(jax.device_get(idx_d))[:total]
-            patches.append((b, slots, idxs))
+            pend_ex.append((b, min(RESIDUE_SLOTS, S_of[b]),
+                            slots_d, idx_d, total_d))
+        if pend_ex:
+            totals = np.asarray(jax.device_get(
+                jnp.stack([t for _, _, _, _, t in pend_ex])))
+            slots_all = np.asarray(jax.device_get(
+                jnp.concatenate([s for _, _, s, _, _ in pend_ex])))
+            idx_all = np.asarray(jax.device_get(
+                jnp.concatenate([i for _, _, _, i, _ in pend_ex])))
+            off = 0
+            for (b, k, _, _, _), total in zip(pend_ex, totals):
+                total = int(total)
+                if total > RESIDUE_SLOTS:
+                    raise NotImplementedError(
+                        f"bucket {b}: {total} window-tied elements exceed "
+                        "the host-residue cap - use the doubling kernel "
+                        "(<=256 MB) or the sharded multi-chip build")
+                patches.append((b, slots_all[off:off + total],
+                                idx_all[off:off + total]))
+                off += k
     _stamps.append(("residue_extract", time.perf_counter()))
 
     # --- finish: idxB[:n] IS the SA (k0B[:n] the LCP); apply residue ----

@@ -53,6 +53,22 @@ def test_long_repeats_host_residue(rng):
     assert np.array_equal(sa, np.asarray(suffix_array_oracle(text.tobytes())))
 
 
+def test_very_long_repeats_past_residue_window(rng):
+    """Ties deeper than RESIDUE_WIN (64 bytes): the vectorized residue
+    resolver's window lexsort cannot decide them and must take the exact
+    comparison fallback (and the deep-LCP fallback under want_lcp)."""
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    text = ALNUM[rng.integers(0, 62, 40_000)]
+    block = ALNUM[rng.integers(0, 62, 200)]
+    for at in (500, 9000, 17500, 26000, 34000):
+        text[at:at + 200] = block
+    ref = np.asarray(suffix_array_oracle(text.tobytes()))
+    sa, lcp = build_suffix_array_big(text, want_lcp=True, **TINY)
+    assert np.array_equal(np.asarray(sa), ref)
+    assert np.array_equal(np.asarray(lcp), lcp_oracle(text, ref))
+
+
 def test_periodic_chain_resolution(rng):
     """Globally periodic text (the reference's repetitive corpus family,
     scripts/generate_large_datasets.py:16-23): window ties persist at any
@@ -105,6 +121,24 @@ def test_dispatch_threshold(rng, monkeypatch):
     from hpc_suffix_array_tpu.core.suffix_array import build_suffix_array
 
     monkeypatch.setenv("SA_BIG_THRESHOLD", "10000")
+    text = rng.integers(0, 256, 20_000).astype(np.uint8)
+    sa = np.asarray(build_suffix_array(text))
+    assert np.array_equal(sa, np.asarray(suffix_array_oracle(text.tobytes())))
+
+
+def test_dispatch_falls_back_to_doubling(rng, monkeypatch):
+    """Texts the MSD path declines (NotImplementedError) fall back to
+    the doubling kernel below its HBM cap — the routed build must still
+    return the exact SA."""
+    import hpc_suffix_array_tpu.core.bigsort as bigsort
+    from hpc_suffix_array_tpu.core.suffix_array import build_suffix_array
+
+    monkeypatch.setenv("SA_BIG_THRESHOLD", "10000")
+
+    def declines(*a, **kw):
+        raise NotImplementedError("synthetic degenerate-text refusal")
+
+    monkeypatch.setattr(bigsort, "build_suffix_array_big", declines)
     text = rng.integers(0, 256, 20_000).astype(np.uint8)
     sa = np.asarray(build_suffix_array(text))
     assert np.array_equal(sa, np.asarray(suffix_array_oracle(text.tobytes())))
