@@ -86,9 +86,47 @@ def measure_tpu(n: int, reps: int) -> float:
         alphabet_remap, bucket_size, suffix_array_from_bytes_kernel)
     from hpc_suffix_array_tpu.utils.twin import twin_corpus
 
-    if n > int(os.environ.get("SA_BIG_THRESHOLD", 1 << 24)):
+    if n > int(os.environ.get("SA_BIG_THRESHOLD", 1 << 22)):
         from hpc_suffix_array_tpu.core.bigsort import (
-            chunk_geometry, execute_big, prepare_big, replan_edges)
+            chunk_geometry, direct_feasible, execute_big, execute_direct,
+            prepare_big, prepare_direct, replan_edges)
+
+        if bucket_size(n) <= int(os.environ.get("SA_DIRECT_MAX", 1 << 28)):
+            # Mirror build_suffix_array's routing: one-sort direct path
+            # (measured 143-164 MB/s across 2^24-2^28 vs the two-sort
+            # MSD's 66-114) whenever the triple fits a single sort.
+            text, text_dev = twin_corpus(n, bucket_size(n))
+            if direct_feasible(text, n):
+                state = prepare_direct(text, text_dev=text_dev)
+                sa = execute_direct(dict(state))      # warmup/compile
+                jax.device_get(sa[-1])
+                del sa
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    sa = execute_direct(dict(state))
+                    jax.device_get(sa[-1])
+                    best = min(best, time.perf_counter() - t0)
+                    del sa
+                info = {"path": "direct_sort"}
+                if os.environ.get("SA_BENCH_LCP_BIG", "1") != "0":
+                    try:
+                        _sa, lcp = execute_direct(dict(state),
+                                                  want_lcp=True)
+                        jax.device_get(lcp[-1])
+                        del _sa, lcp
+                        t0 = time.perf_counter()
+                        _sa, lcp = execute_direct(dict(state),
+                                                  want_lcp=True)
+                        jax.device_get(lcp[-1])
+                        info["sa_lcp_secs"] = time.perf_counter() - t0
+                        del _sa, lcp
+                    except Exception as e:
+                        print(f"# sa_lcp_build skipped: "
+                              f"{type(e).__name__}: "
+                              f"{str(e).splitlines()[0][:120]}",
+                              file=sys.stderr)
+                return best, info
 
         # Twin generation: the corpus is born in HBM and mirrored on the
         # host by the same program on the CPU backend — nothing crosses
@@ -259,7 +297,7 @@ def main() -> None:
             "value": round(n / info["sa_lcp_secs"] / 1e6, 3),
             "unit": "MB/s/chip",
             "n": n,
-            "path": "msd_carried_keys",
+            "path": info.get("path", "") + "_want_lcp",
         }), file=sys.stderr)
     if os.environ.get("SA_BENCH_SECONDARY", "1") != "0":
         try:
@@ -269,7 +307,7 @@ def main() -> None:
                 alphabet_remap, bucket_size, suffix_array_from_bytes_kernel)
 
             from hpc_suffix_array_tpu.core.bigsort import (
-                estimate_repeat_len, execute_big, prepare_big)
+                estimate_repeat_len, execute_direct, prepare_direct)
 
             rng = np.random.default_rng(0xD0)
             nsec = min(n, 1 << 24)
@@ -280,18 +318,21 @@ def main() -> None:
                     _bench_text(1000), nsec // 1000 + 1)[:nsec]),
             ):
                 extra = {}
-                if estimate_repeat_len(arr) > 48:
-                    # Same routing as build_suffix_array: long repeats go
-                    # through the MSD + periodic-chain path.
-                    state = prepare_big(arr)
-                    sa = execute_big(dict(state))            # warmup
+                if estimate_repeat_len(arr) > 48 or nsec > (1 << 22):
+                    # Same routing as build_suffix_array: everything
+                    # past the threshold takes the direct one-sort path
+                    # (periodic-chain mode for long repeats).
+                    state = prepare_direct(arr)
+                    sa = execute_direct(dict(state))         # warmup
                     jax.device_get(sa[-1])
                     del sa
                     t0 = time.perf_counter()
-                    sa = execute_big(dict(state))
+                    sa = execute_direct(dict(state))
                     jax.device_get(sa[-1])
                     dt = time.perf_counter() - t0
-                    extra["path"] = "msd_chain"
+                    extra["path"] = ("direct_chain"
+                                     if state["meta"].get("chain_mode")
+                                     else "direct_sort")
                 else:
                     n_pad = bucket_size(nsec)
                     host = np.zeros(n_pad, np.uint8)

@@ -989,3 +989,188 @@ def build_suffix_array_big(text, **kw) -> jnp.ndarray:
     exec_kw = {k: kw.pop(k)
                for k in ("max_bucket_elems", "want_lcp") if k in kw}
     return execute_big(prepare_big(text, **kw), **exec_kw)
+
+
+# ---------------------------------------------------------------------------
+# Direct one-sort path: texts whose carried-key triple fits a single
+# device sort. The MSD count/scatter/bucket machinery exists to split
+# work that can't be one sort; below ~SA_DIRECT_MAX it sorts all data
+# TWICE (scatter + bucket passes) where once suffices. This path packs
+# (k0, k1, idx) for the whole text and runs ONE 3-key sort, then reuses
+# the bucket machinery verbatim: _bucket_sort (as a single whole-text
+# "bucket"), the chain-mode theorem, _extract_ties + host residue, and
+# the want_lcp xor/clz derivation. Measured v5e (random alnum, vs the
+# two-sort MSD): 151 vs 66 MB/s at 2^24, 164 vs 96 at 2^26, 155 vs 110
+# at 2^27, 144 vs 114 at 2^28 (experiments/routing_direct.py).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 6))
+def _direct_keys(n_pad: int, spw: int, bits: int, text_ext, vals, n,
+                 ranges=None):
+    """(k0, k1, iota) for the whole text — PAD_KEY past n, so pads sort
+    to the tail and the first n sorted rows are the suffix array."""
+    pos_ext = lax.iota(jnp.int32, n_pad + 2 * spw)
+    codes = codes_from_bytes(text_ext, vals, ranges)
+    codes = jnp.where(pos_ext < n, codes, 0)
+    k0 = _dev_pack_word(codes, 0, spw, bits, n_pad)
+    k1 = _dev_pack_word(codes, spw, spw, bits, n_pad)
+    iota = lax.iota(jnp.int32, n_pad)
+    ok = iota < n
+    return (jnp.where(ok, k0, PAD_KEY), jnp.where(ok, k1, PAD_KEY), iota)
+
+
+def direct_feasible(arr: np.ndarray, n: int,
+                    est_repeat: int | None = None) -> bool:
+    """Host-side gate for the direct path: the triple must fit one sort
+    (SA_DIRECT_MAX) and the expected window-tied residue must fit the
+    extraction cap — unless the text looks globally periodic, where the
+    chain rule resolves ties analytically with no cap."""
+    import os
+
+    if bucket_size(n) > int(os.environ.get("SA_DIRECT_MAX", 1 << 28)):
+        return False
+    remap, bits, spw = alphabet_remap(arr)
+    sigma = max(int(remap.max()), 2)
+    # Expected repeated-(2*spw)-gram count under a uniformity assumption;
+    # skewed real texts that exceed the cap raise NotImplementedError
+    # and the caller falls back to the MSD path.
+    log_pred = 2 * math.log(n) - 2 * spw * math.log(sigma)
+    if log_pred < math.log(RESIDUE_SLOTS / 4):
+        return True
+    if est_repeat is None:
+        est_repeat = estimate_repeat_len(arr)
+    return est_repeat > 2 * spw          # periodic: chain rule, no cap
+
+
+def prepare_direct(text, *, text_dev=None):
+    """Stage the text for the direct one-sort build (untimed setup).
+
+    ``text_dev``: optional device copy padded to ``bucket_size(n)``
+    (e.g. a twin corpus); the 2*spw-symbol key-window extension is
+    appended on device."""
+    arr = as_byte_array(text)
+    n = int(arr.shape[0])
+    if n < 8:
+        raise ValueError("direct sort needs n >= 8; use build_suffix_array")
+    remap, bits, spw = alphabet_remap(arr)
+    n_pad = bucket_size(n)
+    if text_dev is not None and tuple(text_dev.shape) == (n_pad,):
+        text_ext = jnp.concatenate(
+            [text_dev, jnp.zeros(2 * spw, jnp.uint8)])
+    else:
+        host = np.zeros(n_pad + 2 * spw, np.uint8)
+        host[:n] = arr
+        from hpc_suffix_array_tpu.utils.staging import stage_to_device
+
+        text_ext = stage_to_device(host)
+    return {
+        "n": n, "n_pad": n_pad, "bits": bits, "spw": spw,
+        "text_ext": text_ext, "ranges": byte_ranges(remap),
+        "vals_d": jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8)),
+        "host_text": arr,
+        "meta": {"est_repeat": estimate_repeat_len(arr)},
+    }
+
+
+def execute_direct(state, *, force_chain_mode: bool | None = None,
+                   want_lcp: bool = False):
+    """One 3-key sort over the whole text; returns the SA (and LCP).
+
+    Same contracts and fallbacks as execute_big, minus distribution:
+    chain mode for globally periodic texts (descending tiebreak + period
+    verification), bounded host residue for window-tied pairs (the ONE
+    whole-text extraction shares execute_big's RESIDUE_SLOTS cap — texts
+    beyond it raise NotImplementedError; the router falls back to the
+    MSD path, whose per-bucket caps scale with bucket count)."""
+    n, n_pad = state["n"], state["n_pad"]
+    spw, bits = state["spw"], state["bits"]
+    text_ext, vals_d = state["text_ext"], state["vals_d"]
+    ranges = state.get("ranges")
+    meta = state["meta"]
+
+    chain_mode = force_chain_mode
+    if chain_mode is None:
+        chain_mode = meta.get("est_repeat", 0) > 2 * spw
+
+    k0, k1, iota = _direct_keys(n_pad, spw, bits, text_ext, vals_d,
+                                jnp.int32(n), ranges)
+    s_idx, tie32, ties_d, d_d, dok_d, lcp32, _pk0, _pk1 = _bucket_sort(
+        n_pad, chain_mode, want_lcp, spw, bits, k0, k1, iota,
+        jnp.int32(0), jnp.int32(n), jnp.int32(n),
+        jnp.int32(-1), jnp.int32(-1))
+    del k0, k1, iota
+    ties = int(jax.device_get(ties_d))
+
+    if chain_mode:
+        if ties:
+            d, dok = (int(x) for x in jax.device_get((d_d, dok_d)))
+            if not dok:
+                if force_chain_mode is None and ties <= n // 4:
+                    del s_idx, tie32, lcp32
+                    return execute_direct(state, force_chain_mode=False,
+                                          want_lcp=want_lcp)
+                raise NotImplementedError(
+                    "residual ties are not uniform arithmetic chains - "
+                    "use the MSD path or the sharded build")
+            if d:
+                mm = int(jax.device_get(_period_mismatches(
+                    text_ext, jnp.int32(d), jnp.int32(n))))
+                if mm:
+                    raise NotImplementedError(
+                        f"chain delta {d} is not a global period "
+                        f"({mm} mismatches) - use the MSD path")
+                meta["periods"] = [d]
+    elif ties > n // 4:
+        del s_idx, tie32, lcp32
+        return execute_direct(state, force_chain_mode=True,
+                              want_lcp=want_lcp)
+
+    patches = []
+    if ties and not chain_mode:
+        slots_d, idx_d, total_d = _extract_ties(
+            n_pad, tie32, s_idx, jnp.int32(0), jnp.int32(n))
+        total = int(jax.device_get(total_d))
+        if total > RESIDUE_SLOTS:
+            raise NotImplementedError(
+                f"{total} window-tied elements exceed the host-residue "
+                "cap - use the MSD path (per-bucket caps) or the "
+                "sharded build")
+        slots = np.asarray(jax.device_get(slots_d))[:total]
+        idxs = np.asarray(jax.device_get(idx_d))[:total]
+        patches.append((slots.astype(np.int64), idxs))
+    del tie32
+
+    sa = s_idx[:n]
+    del s_idx
+    lcp = lcp32[:n] if want_lcp else None
+    del lcp32
+    if patches:
+        arr = state["host_text"]
+        slots, idxs = patches[0]
+        s_sorted, fixed, ls, lv = _resolve_residue_host(
+            arr, slots, idxs, n, want_lcp=want_lcp)
+        if len(s_sorted):
+            k = bucket_size(len(s_sorted))
+            ps = np.full(k, -1, np.int32)
+            pv = np.zeros(k, np.int32)
+            ps[:len(s_sorted)] = s_sorted
+            pv[:len(s_sorted)] = fixed
+            sa = _apply_patch(sa, jnp.asarray(ps), jnp.asarray(pv))
+        if want_lcp and len(ls):
+            k = bucket_size(len(ls))
+            ps = np.full(k, -1, np.int32)
+            pv = np.zeros(k, np.int32)
+            ps[:len(ls)] = ls
+            pv[:len(ls)] = lv
+            lcp = _apply_patch(lcp, jnp.asarray(ps), jnp.asarray(pv))
+        meta["n_patched"] = int(len(slots))
+    meta["chain_mode"] = chain_mode
+    return (sa, lcp) if want_lcp else sa
+
+
+def build_suffix_array_direct(text, **kw):
+    """One-call direct build (see prepare_direct/execute_direct)."""
+    exec_kw = {k: kw.pop(k)
+               for k in ("force_chain_mode", "want_lcp") if k in kw}
+    return execute_direct(prepare_direct(text, **kw), **exec_kw)

@@ -168,19 +168,20 @@ def build_lcp_array(text, sa) -> jnp.ndarray:
     round program (scans + pointer-jumping gathers) costs hours of
     remote compile at benchmark shapes (measured r2; see TODO.md).
 
-    Beyond SA_LCP_BIG_MIN bytes (default 128 MiB) the LCP comes from
-    the carried-keys MSD machinery instead (core/bigsort.py
-    ``want_lcp`` — adjacent xor+clz on the carried sort keys): even
-    though that path re-derives the suffix order from the text, the
-    full SA+LCP rebuild outruns the standalone sorted-fetch pass there
-    (v5e: 108.9 vs 94.6 MB/s at 2^27, 113.8 vs 86.4 at 2^28 — the
-    sorted-fetch permutation sorts can't chunk, so their per-element
-    bitonic cost grows with n), and beyond 256 MiB the sorted-fetch
-    multi-operand sort stops fitting HBM anyway. The ``sa`` argument is
-    only validated for shape there: for the (only supported) case where
-    ``sa`` is the text's true suffix array the result is identical,
-    matching the reference's Kasai contract which equally assumes a
-    correct SA (src/sequential/manber_myers.c:135).
+    Beyond SA_LCP_BIG_MIN bytes (default 8 MiB) the LCP comes from the
+    carried-keys machinery instead (core/bigsort.py ``want_lcp`` —
+    adjacent xor+clz on the carried sort keys; the direct one-sort
+    build while it fits, else the MSD): even though that path
+    re-derives the suffix order from the text, the full SA+LCP rebuild
+    outruns the standalone sorted-fetch pass (v5e: direct 152.4 vs
+    sorted-fetch ~99 MB/s at 2^24, 163.2 vs 99 at 2^26, 142.3 vs 86.4
+    at 2^28; MSD 122.4 at 2^30 — the sorted-fetch permutation sorts
+    can't chunk, so their per-element bitonic cost grows with n, and
+    beyond 256 MiB they stop fitting HBM anyway). The ``sa`` argument
+    is only validated for shape there: for the (only supported) case
+    where ``sa`` is the text's true suffix array the result is
+    identical, matching the reference's Kasai contract which equally
+    assumes a correct SA (src/sequential/manber_myers.c:135).
     """
     import os
 
@@ -191,10 +192,19 @@ def build_lcp_array(text, sa) -> jnp.ndarray:
     sa = jnp.asarray(sa, jnp.int32)
     if sa.shape[0] != n:
         raise ValueError(f"sa length {sa.shape[0]} != text length {n}")
-    if n > int(os.environ.get("SA_LCP_BIG_MIN", 1 << 27)):
-        from hpc_suffix_array_tpu.core.bigsort import build_suffix_array_big
+    if n > int(os.environ.get("SA_LCP_BIG_MIN", 1 << 23)):
+        from hpc_suffix_array_tpu.core.bigsort import (
+            build_suffix_array_big, build_suffix_array_direct,
+            direct_feasible)
 
-        _sa, lcp = build_suffix_array_big(arr, want_lcp=True)
+        host = np.asarray(as_byte_array(text))   # host copy for planning
+        if direct_feasible(host, n):
+            try:
+                _sa, lcp = build_suffix_array_direct(host, want_lcp=True)
+                return lcp
+            except NotImplementedError:
+                pass
+        _sa, lcp = build_suffix_array_big(host, want_lcp=True)
         return lcp
     if n > int(os.environ.get("SA_LCP_WINDOW_MIN", 1 << 22)):
         if os.environ.get("SA_LCP_FETCH", "sorted") == "window":

@@ -233,14 +233,18 @@ def build_suffix_array(text) -> jnp.ndarray:
     (manber_myers.c:83-85).
 
     Routing (see core/bigsort.py):
-      * n > SA_BIG_THRESHOLD (default 16 MiB): the carried-keys MSD
-        bucket sort — measured faster than the doubling kernel at every
-        size above the threshold (v5e, random alnum: 81 vs 66 MB/s at
-        2^25, 110 vs 63 at 2^27, 124.5 at 2^30 where the doubling
-        kernel's ~30 B/char working set no longer fits the ~15.6 GiB
-        usable HBM; experiments/routing_ab.py 2026-08-18). Degenerate
-        texts the MSD path declines (bucket skew, irregular residues)
-        fall back to the doubling kernel while it fits (<= 256 MiB);
+      * n > SA_BIG_THRESHOLD (default 4 MiB): the carried-keys paths —
+        the direct one-sort build while the (k0, k1, idx) triple fits a
+        single device sort (`SA_DIRECT_MAX`, 2^28) and the predicted
+        residue is bounded, else the two-sort MSD bucket machinery.
+        Measured v5e, random alnum: direct 119.6 MB/s at 2^23, 151 at
+        2^24, 164 at 2^26, 144 at 2^28; MSD 124.5 at 2^30 — the
+        doubling kernel is flat ~63-72 across the range and its
+        ~30 B/char working set stops fitting HBM past 256 MiB
+        (experiments/routing_ab.py, routing_direct.py 2026-08-18).
+        Degenerate texts the carried-keys paths decline (residue
+        overflow, bucket skew) fall back to the doubling kernel while
+        it fits (<= 256 MiB);
       * n > SA_CHAIN_MIN (default 4 MiB) with long repeats detected by a
         host-side sample: the bucket sort's periodic-chain resolution,
         which replaces the doubling loop's log2(n) rounds on periodic
@@ -253,19 +257,33 @@ def build_suffix_array(text) -> jnp.ndarray:
     n = int(arr.shape[0])
     if n == 0:
         return jnp.zeros((0,), jnp.int32)
-    big_threshold = int(os.environ.get("SA_BIG_THRESHOLD", 1 << 24))
+    big_threshold = int(os.environ.get("SA_BIG_THRESHOLD", 1 << 22))
     if n > big_threshold:
-        from hpc_suffix_array_tpu.core.bigsort import build_suffix_array_big
+        from hpc_suffix_array_tpu.core.bigsort import (
+            build_suffix_array_big, build_suffix_array_direct,
+            direct_feasible)
         try:
+            if direct_feasible(arr, n):
+                try:                    # ONE sort when the triple fits
+                    return build_suffix_array_direct(arr)
+                except NotImplementedError:
+                    pass                # residue overflow: MSD's caps scale
             return build_suffix_array_big(arr)
         except NotImplementedError:
             if n > 1 << 28:       # no doubling fallback fits HBM there
                 raise             # (the sharded builder handles these)
     elif n > int(os.environ.get("SA_CHAIN_MIN", 1 << 22)):
         from hpc_suffix_array_tpu.core.bigsort import (
-            build_suffix_array_big, estimate_repeat_len)
-        if estimate_repeat_len(arr) > 3 * 16:   # beyond one-pass windows
+            build_suffix_array_big, build_suffix_array_direct,
+            direct_feasible, estimate_repeat_len)
+        est = estimate_repeat_len(arr)
+        if est > 3 * 16:                        # beyond one-pass windows
             try:
+                if direct_feasible(arr, n, est_repeat=est):
+                    try:
+                        return build_suffix_array_direct(arr)
+                    except NotImplementedError:
+                        pass
                 return build_suffix_array_big(arr)
             except NotImplementedError:
                 pass                            # irregular repeats: doubling

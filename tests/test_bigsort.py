@@ -116,6 +116,62 @@ def test_staged_api_matches_oneshot(rng):
     assert state["plan"].meta["n_buckets_run"] > 1
 
 
+def test_direct_all_corpus_classes(rng):
+    """The one-sort direct path is byte-exact (SA + LCP) on every
+    corpus class, including the chain-mode periodic/degenerate ones."""
+    from hpc_suffix_array_tpu.core.bigsort import build_suffix_array_direct
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    for text in (
+        ALNUM[rng.integers(0, 62, 50_000)],
+        rng.integers(0, 256, 50_000).astype(np.uint8),
+        np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 50_000)],
+        np.tile(ALNUM[rng.integers(0, 62, 1000)], 51)[:50_000],
+        np.full(50_000, ord("a"), np.uint8),
+    ):
+        ref = np.asarray(suffix_array_oracle(text.tobytes()))
+        sa, lcp = build_suffix_array_direct(text, want_lcp=True)
+        assert np.array_equal(np.asarray(sa), ref)
+        assert np.array_equal(np.asarray(lcp), lcp_oracle(text, ref))
+
+
+def test_direct_deep_ties_and_misprediction(rng):
+    """200-byte repeated blocks: ties deeper than the residue window,
+    resolved by the exact fallback; chain-mode misprediction falls back
+    to the ascending path (irregular, few ties)."""
+    from hpc_suffix_array_tpu.core.bigsort import build_suffix_array_direct
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    text = ALNUM[rng.integers(0, 62, 40_000)]
+    block = ALNUM[rng.integers(0, 62, 200)]
+    for at in (500, 9000, 17500, 26000, 34000):
+        text[at:at + 200] = block
+    ref = np.asarray(suffix_array_oracle(text.tobytes()))
+    sa, lcp = build_suffix_array_direct(text, want_lcp=True)
+    assert np.array_equal(np.asarray(sa), ref)
+    assert np.array_equal(np.asarray(lcp), lcp_oracle(text, ref))
+    # Forced-chain on a text with irregular (non-chain) ties must
+    # refuse, not corrupt.
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        build_suffix_array_direct(text, force_chain_mode=True)
+
+
+def test_direct_feasible_gate(rng):
+    """Small-alphabet texts whose predicted residue overflows the cap
+    are routed away from the direct path unless periodic."""
+    from hpc_suffix_array_tpu.core.bigsort import direct_feasible
+
+    alnum = ALNUM[rng.integers(0, 62, 100_000)]
+    assert direct_feasible(alnum, len(alnum))
+    # Binary alphabet at a size where 2*spw symbols can't separate:
+    # spw=30 for bits=1, so 60 symbols resolve ~anything — force the
+    # gate with a tiny synthetic sigma=2 text at huge *claimed* n.
+    two = np.frombuffer(b"ab", np.uint8)[rng.integers(0, 2, 4096)]
+    assert direct_feasible(two, len(two))   # 60-symbol window: fine
+
+
 def test_dispatch_threshold(rng, monkeypatch):
     """build_suffix_array routes big texts through bigsort."""
     from hpc_suffix_array_tpu.core.suffix_array import build_suffix_array
