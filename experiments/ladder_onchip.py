@@ -27,26 +27,31 @@ def measure(tag, arr, reps=2):
     import jax
 
     from hpc_suffix_array_tpu.core.bigsort import (
-        estimate_repeat_len, execute_big, prepare_big)
+        direct_feasible, estimate_repeat_len, execute_big, execute_direct,
+        prepare_big, prepare_direct)
     from hpc_suffix_array_tpu.core.suffix_array import (
         alphabet_remap, bucket_size, suffix_array_from_bytes_kernel)
 
     n = len(arr)
     rep = estimate_repeat_len(arr)
-    if rep > 48 or n > (1 << 24):   # build_suffix_array's MSD routing
-        state = prepare_big(arr)
-        sa = execute_big(dict(state))                     # warmup/compile
+    if rep > 48 or n > (1 << 22):   # build_suffix_array's routing
+        direct = direct_feasible(arr, n, est_repeat=rep)
+        prep = prepare_direct if direct else prepare_big
+        exe = execute_direct if direct else execute_big
+        state = prep(arr)
+        sa = exe(dict(state))                             # warmup/compile
         jax.device_get(sa[-1])
         del sa
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            sa = execute_big(dict(state))
+            sa = exe(dict(state))
             jax.device_get(sa[-1])
             best = min(best, time.perf_counter() - t0)
             del sa
-        path = "msd_chain" if state["plan"].meta.get("chain_mode") \
-            else "msd_bigsort"
+        meta = state["meta"] if direct else state["plan"].meta
+        path = ("direct" if direct else "msd") + \
+            ("_chain" if meta.get("chain_mode") else "_sort")
     else:
         import jax.numpy as jnp
 

@@ -738,6 +738,44 @@ def _resolve_residue_host(arr: np.ndarray, slots: np.ndarray,
     return slots, out, lslots, lvals.astype(np.int32)
 
 
+def _apply_residue(sa, lcp, arr, patches, n: int, want_lcp: bool):
+    """Resolve host residue pairs and patch them into sa (and lcp).
+
+    ``patches``: list of (slots int64[], idxs int32[]) per extraction.
+    Returns (sa, lcp, n_patched)."""
+    all_slots, all_vals = [], []
+    lcp_slots, lcp_vals = [], []
+    for slots, idxs in patches:
+        if not len(slots):
+            continue
+        s_sorted, fixed, ls, lv = _resolve_residue_host(
+            arr, slots, idxs, n, want_lcp=want_lcp)
+        all_slots.append(s_sorted.astype(np.int64))
+        all_vals.append(fixed)
+        lcp_slots.append(ls)
+        lcp_vals.append(lv)
+
+    def _patch(target, slot_parts, val_parts):
+        slots = np.concatenate(slot_parts)
+        vals = np.concatenate(val_parts)
+        if not len(slots):
+            return target
+        k = bucket_size(len(slots))
+        ps = np.full(k, -1, np.int32)
+        pv = np.zeros(k, np.int32)
+        ps[:len(slots)] = slots
+        pv[:len(slots)] = vals
+        return _apply_patch(target, jnp.asarray(ps), jnp.asarray(pv))
+
+    n_patched = 0
+    if all_slots:
+        sa = _patch(sa, all_slots, all_vals)
+        n_patched = int(sum(len(s) for s in all_slots))
+    if want_lcp and lcp_slots:
+        lcp = _patch(lcp, lcp_slots, lcp_vals)
+    return sa, lcp, n_patched
+
+
 def execute_big(state, *, max_bucket_elems: int | None = None,
                 force_chain_mode: bool | None = None,
                 want_lcp: bool = False) -> jnp.ndarray:
@@ -938,44 +976,17 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
     del k0B
     sa = idxB[:n]
     del idxB
+    n_patched = 0
     if patches:
-        arr = state["host_text"]
-        all_slots, all_vals = [], []
-        lcp_slots, lcp_vals = [], []
-        for _b, slots, idxs in patches:
-            if not len(slots):
-                continue
-            s_sorted, fixed, ls, lv = _resolve_residue_host(
-                arr, slots, idxs, n, want_lcp=want_lcp)
-            all_slots.append(s_sorted.astype(np.int64))
-            all_vals.append(fixed)
-            lcp_slots.append(ls)
-            lcp_vals.append(lv)
-        if all_slots:
-            slots = np.concatenate(all_slots)
-            vals = np.concatenate(all_vals)
-            k = bucket_size(len(slots))
-            ps = np.full(k, -1, np.int32)
-            pv = np.zeros(k, np.int32)
-            ps[:len(slots)] = slots
-            pv[:len(slots)] = vals
-            sa = _apply_patch(sa, jnp.asarray(ps), jnp.asarray(pv))
-        if want_lcp and lcp_slots:
-            lslots = np.concatenate(lcp_slots)
-            lvals = np.concatenate(lcp_vals)
-            if len(lslots):
-                k = bucket_size(len(lslots))
-                ps = np.full(k, -1, np.int32)
-                pv = np.zeros(k, np.int32)
-                ps[:len(lslots)] = lslots
-                pv[:len(lslots)] = lvals
-                lcp = _apply_patch(lcp, jnp.asarray(ps), jnp.asarray(pv))
+        sa, lcp, n_patched = _apply_residue(
+            sa, lcp, state["host_text"],
+            [(slots.astype(np.int64), idxs) for _b, slots, idxs in patches],
+            n, want_lcp)
 
     plan.meta["n_buckets_run"] = len(live)
     plan.meta["chain_mode"] = chain_mode
     plan.meta["periods"] = sorted(verified)
-    plan.meta["n_patched"] = int(sum(len(s) for _, s, _ in patches)) \
-        if patches else 0
+    plan.meta["n_patched"] = n_patched
     # The final bucket writes + patch run async; their tail is attributed
     # by the caller's fence. Durations between the recorded sync points:
     plan.meta["phase_host_s"] = {
@@ -1146,25 +1157,9 @@ def execute_direct(state, *, force_chain_mode: bool | None = None,
     lcp = lcp32[:n] if want_lcp else None
     del lcp32
     if patches:
-        arr = state["host_text"]
-        slots, idxs = patches[0]
-        s_sorted, fixed, ls, lv = _resolve_residue_host(
-            arr, slots, idxs, n, want_lcp=want_lcp)
-        if len(s_sorted):
-            k = bucket_size(len(s_sorted))
-            ps = np.full(k, -1, np.int32)
-            pv = np.zeros(k, np.int32)
-            ps[:len(s_sorted)] = s_sorted
-            pv[:len(s_sorted)] = fixed
-            sa = _apply_patch(sa, jnp.asarray(ps), jnp.asarray(pv))
-        if want_lcp and len(ls):
-            k = bucket_size(len(ls))
-            ps = np.full(k, -1, np.int32)
-            pv = np.zeros(k, np.int32)
-            ps[:len(ls)] = ls
-            pv[:len(ls)] = lv
-            lcp = _apply_patch(lcp, jnp.asarray(ps), jnp.asarray(pv))
-        meta["n_patched"] = int(len(slots))
+        sa, lcp, n_patched = _apply_residue(
+            sa, lcp, state["host_text"], patches, n, want_lcp)
+        meta["n_patched"] = n_patched
     meta["chain_mode"] = chain_mode
     return (sa, lcp) if want_lcp else sa
 
