@@ -55,6 +55,7 @@ def run(text: np.ndarray, filename: str, backend: str, n_devices: int | None,
     n_procs = 1
     mesh = None
 
+    combined = None
     t0 = time.perf_counter()
     if backend == "sharded":
         from hpc_suffix_array_tpu.parallel import (
@@ -63,10 +64,28 @@ def run(text: np.ndarray, filename: str, backend: str, n_devices: int | None,
         n_procs = int(mesh.devices.size)
         sa = _fence(build_suffix_array_sharded(text, mesh))
     else:
-        sa = _fence(build_suffix_array(text))
+        import os as _os
+
+        if n > int(_os.environ.get("SA_LCP_BIG_MIN", 1 << 23)):
+            # One carried-keys pass yields SA and LCP together — at
+            # these sizes a standalone LCP pass would redo the same
+            # full-text sort (see core/lcp.build_lcp_array).
+            from hpc_suffix_array_tpu.core.bigsort import (
+                build_suffix_array_direct, direct_feasible)
+
+            if direct_feasible(text, n):
+                try:
+                    combined = build_suffix_array_direct(
+                        text, want_lcp=True)
+                except NotImplementedError:
+                    combined = None
+        sa = _fence(combined[0] if combined is not None
+                    else build_suffix_array(text))
     t1 = time.perf_counter()
 
-    if mesh is not None:
+    if combined is not None:
+        lcp = _fence(combined[1])
+    elif mesh is not None:
         from hpc_suffix_array_tpu.parallel import build_lcp_array_sharded
         lcp = _fence(build_lcp_array_sharded(text, sa, mesh))
     else:

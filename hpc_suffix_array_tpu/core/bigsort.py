@@ -570,13 +570,14 @@ def chunk_geometry(n: int, chunk_elems: int | None = None
     shape ``prepare_big`` expects and skip staging entirely.
     """
     if chunk_elems is None:
-        # Above ~0.5 GiB: 2^23 chunks measured fastest at the 1 GiB
-        # config (bitonic sort cost per element falls with size:
-        # scatter 4.46 s at m=2^24 -> 3.95 s at 2^23, and the smaller
-        # temporaries give HBM headroom; experiments/bucket_barrier_ab
-        # 2026-08-18). Below, keep fewer/larger chunks — the per-chunk
-        # fixed costs dominate sooner.
-        chunk_elems = 1 << 23 if n > 1 << 29 else 1 << 25
+        # Everything routed to the MSD (above the direct path's one-sort
+        # cap, 2^28) gets 2^23 chunks: bitonic sort cost per element
+        # falls with size (1 GiB scatter 4.46 s at m=2^24 -> 3.95 s at
+        # 2^23; 512 MB total 115.6 -> 132.6 MB/s vs m=2^25), and the
+        # smaller temporaries give HBM headroom
+        # (experiments/bucket_barrier_ab.py 2026-08-18). Below, keep
+        # fewer/larger chunks — per-chunk fixed costs dominate sooner.
+        chunk_elems = 1 << 23 if n > 1 << 28 else 1 << 25
     m = bucket_size(min(chunk_elems, n))
     n_chunks = -(-n // m)
     return m, n_chunks, n_chunks * m + HALO
@@ -916,6 +917,16 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
                 mm = int(jax.device_get(_period_mismatches(
                     text_pad, jnp.int32(d), jnp.int32(n))))
                 if mm:
+                    if force_chain_mode is None and \
+                            tie_counts.sum() <= n // 4:
+                        # Uniform deltas that are NOT a global period
+                        # (e.g. one long repeated block): ascending +
+                        # host residue handles it; chain mode was a
+                        # misprediction.
+                        del idxB, k0B, k1B
+                        return execute_big(
+                            state, max_bucket_elems=max_bucket_elems,
+                            force_chain_mode=False, want_lcp=want_lcp)
                     raise NotImplementedError(
                         f"bucket {b}: chain delta {d} is not a global "
                         f"period ({mm} mismatches) - use the doubling "
@@ -1128,6 +1139,14 @@ def execute_direct(state, *, force_chain_mode: bool | None = None,
                 mm = int(jax.device_get(_period_mismatches(
                     text_ext, jnp.int32(d), jnp.int32(n))))
                 if mm:
+                    if force_chain_mode is None and ties <= n // 4:
+                        # Uniform-delta ties that are NOT a global
+                        # period (one long repeated block): ascending +
+                        # host residue handles it.
+                        del s_idx, tie32, lcp32
+                        return execute_direct(
+                            state, force_chain_mode=False,
+                            want_lcp=want_lcp)
                     raise NotImplementedError(
                         f"chain delta {d} is not a global period "
                         f"({mm} mismatches) - use the MSD path")

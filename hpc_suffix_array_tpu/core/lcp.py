@@ -204,8 +204,11 @@ def build_lcp_array(text, sa) -> jnp.ndarray:
                 return lcp
             except NotImplementedError:
                 pass
-        _sa, lcp = build_suffix_array_big(host, want_lcp=True)
-        return lcp
+        try:
+            _sa, lcp = build_suffix_array_big(host, want_lcp=True)
+            return lcp
+        except NotImplementedError:
+            pass        # degenerate text: the window paths below handle it
     if n > int(os.environ.get("SA_LCP_WINDOW_MIN", 1 << 22)):
         if os.environ.get("SA_LCP_FETCH", "sorted") == "window":
             from hpc_suffix_array_tpu.core.lcp_window import (

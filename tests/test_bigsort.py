@@ -158,6 +158,21 @@ def test_direct_deep_ties_and_misprediction(rng):
         build_suffix_array_direct(text, force_chain_mode=True)
 
 
+def test_direct_uniform_delta_not_period(rng):
+    """ONE long repeated block: every tie has the same delta (the block
+    distance), which is NOT a global period — chain mode mispredicts at
+    the period sweep and must fall back to ascending + residue."""
+    from hpc_suffix_array_tpu.core.bigsort import build_suffix_array_direct
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    text = ALNUM[rng.integers(0, 62, 30_000)]
+    text[15_000:15_300] = text[:300]
+    ref = np.asarray(suffix_array_oracle(text.tobytes()))
+    sa, lcp = build_suffix_array_direct(text, want_lcp=True)
+    assert np.array_equal(np.asarray(sa), ref)
+    assert np.array_equal(np.asarray(lcp), lcp_oracle(text, ref))
+
+
 def test_direct_feasible_gate(rng):
     """Small-alphabet texts whose predicted residue overflows the cap
     are routed away from the direct path unless periodic."""

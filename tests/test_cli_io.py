@@ -39,6 +39,26 @@ def test_cli_string_golden(capsys):
     assert "===END_RESULTS===" in out
 
 
+def test_cli_combined_sa_lcp_route(monkeypatch, capsys):
+    """Above SA_LCP_BIG_MIN the CLI takes the one-pass combined SA+LCP
+    build (carried-keys want_lcp) — results must match the default
+    two-pass route, including validation and the LRS golden."""
+    monkeypatch.setenv("SA_LCP_BIG_MIN", "10000")
+    monkeypatch.setenv("SA_BIG_THRESHOLD", "10000")
+    rng = np.random.default_rng(11)
+    text = rng.integers(0, 62, 30_000).astype(np.uint8) + ord("0")
+    block = text[:300].copy()
+    text[15_000:15_300] = block         # a deep repeat for the LRS
+    import io as _io
+
+    buf = _io.StringIO()
+    res = run(text, "synthetic", backend="single", n_devices=None,
+              validate=True, dialect="sequential", out=buf)
+    out = buf.getvalue()
+    assert "Valid suffix array: YES" in out
+    assert res["lrs_length"] >= 300
+
+
 def test_cli_file_and_mpi_dialect(tmp_path, capsys):
     p = tmp_path / "mississippi.txt"
     p.write_bytes(b"mississippi")
