@@ -32,8 +32,10 @@ def main() -> None:
         b"abcdefghijklmnopqrstuvwxyz"
         b"ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789", np.uint8)
 
-    for lg in ([int(a) for a in sys.argv[1:]] or [24, 25, 26, 27, 28]):
-        n = 1 << lg
+    sizes = [int(float(a)) if "e" in a or "." in a else (1 << int(a))
+             for a in sys.argv[1:]] or [1 << lg for lg in range(24, 29)]
+    for n in sizes:
+        lg = round(np.log2(n), 2)
         if corpus == "alnum":
             text, text_dev = twin_corpus(n, bucket_size(n))
         elif corpus == "dna":

@@ -1050,6 +1050,11 @@ def direct_feasible(arr: np.ndarray, n: int,
     chain rule resolves ties analytically with no cap."""
     import os
 
+    # 2^28 is the measured crossover, not just a memory cap: lax.sort's
+    # bitonic network is a power-of-2 structure, so sizes just past 2^28
+    # pay the 2^29 network (310 MB direct: 108.9 MB/s vs ~130 via the
+    # MSD's 2^23-bucket sorts; at 2^28 exactly direct wins 143.6 vs
+    # 113.8 — experiments/routing_direct.py 2026-08-18).
     if bucket_size(n) > int(os.environ.get("SA_DIRECT_MAX", 1 << 28)):
         return False
     remap, bits, spw = alphabet_remap(arr)
