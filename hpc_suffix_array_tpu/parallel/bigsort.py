@@ -75,9 +75,15 @@ def _local_build(P: int, bits: int, spw: int, R: int, ranges,
                  text_u8, vals, n_real, desc):
     """shard_map body: pack carried keys, one global sort, flags + residue.
 
-    Returns (s_idx[m], slots[R], res_idx[R], stats[6]) per shard; stats =
-    (tie_cnt, dmax, dmin, res_cnt_local, res_overflow, _pad) with the
-    first three psum/pmax/pmin-replicated and the residue fields local.
+    Returns (s_idx[m], lcp[m], slots[R], res_idx[R], stats[6]) per shard;
+    stats = (tie_cnt, dmax, dmin, res_cnt_local, res_overflow, _pad) with
+    the first three psum/pmax/pmin-replicated and the residue fields
+    local. ``lcp[j] = LCP(sa[j-1], sa[j])`` comes from adjacent xor +
+    count-leading-zeros on the sorted carried keys (exact for every pair
+    that mismatches within 2*spw symbols; the chain rule covers periodic
+    ties in-kernel, the host residue patch covers the bounded rest) — a
+    handful of elementwise passes on columns the sort already moved, so
+    it is always computed.
     """
     m = text_u8.shape[0]
     me = lax.axis_index(SEQ_AXIS)
@@ -118,6 +124,20 @@ def _local_build(P: int, bits: int, spw: int, R: int, ranges,
     dmax = lax.pmax(jnp.max(jnp.where(tie, delta, 0)), SEQ_AXIS)
     dmin = lax.pmin(jnp.min(jnp.where(tie, delta, _BIG)), SEQ_AXIS)
 
+    # LCP from the carried keys (mirror of core _bucket_sort want_lcp):
+    # first differing symbol via xor + clz per word; symbols pack
+    # first-highest in the low spw*bits bits.
+    depth = jnp.int32(2 * spw)
+    x0, x1 = prev_k0 ^ k0s, prev_k1 ^ k1s
+    off0 = jnp.where(x0 != 0, spw - 1 - (31 - lax.clz(x0)) // bits, depth)
+    off1 = jnp.where(x1 != 0,
+                     2 * spw - 1 - (31 - lax.clz(x1)) // bits, depth)
+    lcp = jnp.maximum(jnp.where(x0 != 0, off0, off1), 0)
+    # Periodic ties: chain members are consecutive, lcp = n - prev_idx.
+    lcp = jnp.where(tie & desc, n_real - prev_idx, lcp)
+    # Row 0's manufactured zero predecessor and pad rows clamp to 0.
+    lcp = jnp.where(real_s & (gpos > 0), lcp, 0).astype(jnp.int32)
+
     # Residue membership: every element of a tied group (the flag marks
     # the later element of each tied pair; group heads join through their
     # successor's flag, pulled across the right boundary).
@@ -135,7 +155,7 @@ def _local_build(P: int, bits: int, spw: int, R: int, ranges,
     res_cnt = jnp.sum(member.astype(jnp.int32))
     stats = jnp.stack([tie_cnt, dmax, dmin, res_cnt,
                        (res_cnt > R).astype(jnp.int32), jnp.int32(0)])
-    return s_idx, slots, res_idx, stats
+    return s_idx, lcp, slots, res_idx, stats
 
 
 def _local_build_wide(P: int, bits: int, spw: int, R: int, ranges,
@@ -234,7 +254,7 @@ def _kernels(mesh: Mesh, bits: int, spw: int, ranges):
                           ranges),
         mesh=mesh,
         in_specs=(spec, rep, rep, rep),
-        out_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec, spec, spec, spec),
         check_vma=False)
     return jax.jit(f)
 
@@ -256,13 +276,24 @@ def _kernels_wide(mesh: Mesh, bits: int, spw: int, ranges):
 
 def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
                                    force_chain_mode: bool | None = None,
-                                   wide_index: bool | None = None):
+                                   wide_index: bool | None = None,
+                                   want_lcp: bool = False):
     """Suffix array of ``text`` via ONE distributed carried-keys sort.
 
     Returns the sharded int32[n] suffix array. Raises NotImplementedError
     on inputs whose tie structure exceeds the bounded residue and is not
     a clean periodic chain — callers fall back to
     ``build_suffix_array_sharded`` (the doubling path handles any skew).
+
+    ``want_lcp``: also return the sharded int32[n] LCP array as
+    ``(sa, lcp)`` — derived in-kernel from the sorted carried keys
+    (adjacent xor+clz + the chain rule; host residue for the bounded
+    rest). This is the multi-host ladder config's LCP path: the
+    distributed PLCP (parallel/lcp.py) pays scan-class per-chip compiles
+    the TPU tunnel prices at minutes-to-hours, while this adds a few
+    elementwise column passes to a sort the build already runs. Not
+    supported with ``wide_index`` (lcp values past the int32 range need
+    two-word columns — see _local_build_wide's note).
 
     ``wide_index``: two-word (hi, lo) global indices for texts past the
     int32 range — the >=4 GiB ladder config (BASELINE.md). Auto-enabled
@@ -289,6 +320,11 @@ def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
     if wide_index is None:
         wide_index = n_pad >= (1 << 31) - 1
     if wide_index:
+        if want_lcp:
+            raise NotImplementedError(
+                "want_lcp needs two-word lcp columns past the int32 "
+                "range - build the LCP shard-locally from the (hi, lo) "
+                "columns in a production pipeline")
         return _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw,
                            ranges, chain, force_chain_mode)
     text_pad = np.zeros(n_pad, np.uint8)
@@ -297,7 +333,7 @@ def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
     vals_d = jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8))
 
     kern = _kernels(mesh, bits, spw, ranges)
-    s_idx, slots, res_idx, stats = kern(
+    s_idx, lcp_d, slots, res_idx, stats = kern(
         text_d, vals_d, jnp.int32(n), jnp.bool_(chain))
     st = np.asarray(jax.device_get(stats)).reshape(P, 6)
     tie_cnt, dmax, dmin = int(st[0, 0]), int(st[0, 1]), int(st[0, 2])
@@ -308,7 +344,8 @@ def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
             if not delta_ok:
                 if force_chain_mode is None and tie_cnt <= n // 4:
                     return build_suffix_array_sharded_big(
-                        arr, mesh, force_chain_mode=False)
+                        arr, mesh, force_chain_mode=False,
+                        want_lcp=want_lcp)
                 raise NotImplementedError(
                     "sharded bigsort: residual ties are not uniform "
                     "arithmetic chains - use the doubling builder")
@@ -321,28 +358,35 @@ def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
                     f"sharded bigsort: chain delta {d} is not a global "
                     "period - use the doubling builder")
         sa = s_idx[:n]
-        return sa
+        return (sa, lcp_d[:n]) if want_lcp else sa
 
     if tie_cnt > n // 4 and force_chain_mode is None:
         return build_suffix_array_sharded_big(arr, mesh,
-                                              force_chain_mode=True)
+                                              force_chain_mode=True,
+                                              want_lcp=want_lcp)
     if np.any(st[:, 4]):
         raise NotImplementedError(
             "sharded bigsort: window-tied elements exceed the per-shard "
             "residue cap - use the doubling builder")
 
     sa = s_idx[:n]
+    lcp = lcp_d[:n] if want_lcp else None
     if tie_cnt:
         slots_h = np.asarray(jax.device_get(slots))
         idx_h = np.asarray(jax.device_get(res_idx))
         keep = slots_h >= 0
         if keep.any():
-            s_sorted, fixed, _ls, _lv = _resolve_residue_host(
-                arr, slots_h[keep].astype(np.int64), idx_h[keep], n)
+            s_sorted, fixed, ls, lv = _resolve_residue_host(
+                arr, slots_h[keep].astype(np.int64), idx_h[keep], n,
+                want_lcp=want_lcp)
             ok = s_sorted < n          # pads never join groups, but guard
             sa = sa.at[jnp.asarray(s_sorted[ok].astype(np.int32))].set(
                 jnp.asarray(fixed[ok].astype(np.int32)))
-    return sa
+            if want_lcp and len(ls):
+                ok_l = ls < n
+                lcp = lcp.at[jnp.asarray(ls[ok_l].astype(np.int32))].set(
+                    jnp.asarray(lv[ok_l].astype(np.int32)))
+    return (sa, lcp) if want_lcp else sa
 
 
 def _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw, ranges, chain,

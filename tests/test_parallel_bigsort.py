@@ -134,3 +134,42 @@ def test_wide_matches_narrow(mesh8, rng):
         text, mesh8, wide_index=False))
     assert wide.dtype == np.int64
     assert np.array_equal(wide, narrow.astype(np.int64))
+
+
+def _check_lcp(text, mesh, **kw):
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    sa, lcp = build_suffix_array_sharded_big(text, mesh, want_lcp=True,
+                                             **kw)
+    ref = np.asarray(suffix_array_oracle(text.tobytes()))
+    assert np.array_equal(np.asarray(sa), ref)
+    assert np.array_equal(np.asarray(lcp), lcp_oracle(text, ref))
+
+
+def test_want_lcp_random(mesh8, rng):
+    _check_lcp(ALNUM[rng.integers(0, 62, 8 * 4096)], mesh8)
+
+
+def test_want_lcp_bytes(mesh8, rng):
+    _check_lcp(rng.integers(0, 256, 3 * 4096).astype(np.uint8), mesh8)
+
+
+def test_want_lcp_periodic_chain(mesh8, rng):
+    base = ALNUM[rng.integers(0, 62, 500)]
+    _check_lcp(np.tile(base, 70)[:8 * 4096], mesh8)
+
+
+def test_want_lcp_residue(mesh8, rng):
+    """Ties past the carried window take the host lcp patches."""
+    text = ALNUM[rng.integers(0, 62, 8 * 4096)]
+    block = ALNUM[rng.integers(0, 62, 80)]
+    for at in (700, 9000, 17000, 25000):
+        text[at:at + 80] = block
+    _check_lcp(text, mesh8)
+
+
+def test_want_lcp_wide_refuses(mesh8, rng):
+    with pytest.raises(NotImplementedError):
+        build_suffix_array_sharded_big(
+            ALNUM[rng.integers(0, 62, 8 * 2048)], mesh8,
+            wide_index=True, want_lcp=True)
