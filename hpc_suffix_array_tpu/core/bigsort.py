@@ -1042,12 +1042,29 @@ def _direct_keys(n_pad: int, spw: int, bits: int, text_ext, vals, n,
     return (jnp.where(ok, k0, PAD_KEY), jnp.where(ok, k1, PAD_KEY), iota)
 
 
+def residue_feasible(arr: np.ndarray, n: int, cap: float,
+                     est_repeat: int | None = None) -> bool:
+    """Expected window-tied residue fits ``cap`` — or the text looks
+    globally periodic, where the chain rule resolves ties analytically
+    with no cap. Shared gate for the carried-keys paths (direct, and
+    the sharded one-pass MSD whose cap scales with the shard count).
+    Uniformity assumption: skewed real texts that slip past it raise
+    NotImplementedError downstream and the caller falls back."""
+    remap, bits, spw = alphabet_remap(arr)
+    sigma = max(int(remap.max()), 2)
+    log_pred = 2 * math.log(n) - 2 * spw * math.log(sigma)
+    if log_pred < math.log(max(cap, 2.0)):
+        return True
+    if est_repeat is None:
+        est_repeat = estimate_repeat_len(arr)
+    return est_repeat > 2 * spw          # periodic: chain rule, no cap
+
+
 def direct_feasible(arr: np.ndarray, n: int,
                     est_repeat: int | None = None) -> bool:
     """Host-side gate for the direct path: the triple must fit one sort
     (SA_DIRECT_MAX) and the expected window-tied residue must fit the
-    extraction cap — unless the text looks globally periodic, where the
-    chain rule resolves ties analytically with no cap."""
+    extraction cap (see residue_feasible)."""
     import os
 
     # 2^28 is the measured crossover, not just a memory cap: lax.sort's
@@ -1057,17 +1074,7 @@ def direct_feasible(arr: np.ndarray, n: int,
     # 113.8 — experiments/routing_direct.py 2026-08-18).
     if bucket_size(n) > int(os.environ.get("SA_DIRECT_MAX", 1 << 28)):
         return False
-    remap, bits, spw = alphabet_remap(arr)
-    sigma = max(int(remap.max()), 2)
-    # Expected repeated-(2*spw)-gram count under a uniformity assumption;
-    # skewed real texts that exceed the cap raise NotImplementedError
-    # and the caller falls back to the MSD path.
-    log_pred = 2 * math.log(n) - 2 * spw * math.log(sigma)
-    if log_pred < math.log(RESIDUE_SLOTS / 4):
-        return True
-    if est_repeat is None:
-        est_repeat = estimate_repeat_len(arr)
-    return est_repeat > 2 * spw          # periodic: chain rule, no cap
+    return residue_feasible(arr, n, RESIDUE_SLOTS / 4, est_repeat)
 
 
 def prepare_direct(text, *, text_dev=None):

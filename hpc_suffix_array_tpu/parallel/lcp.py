@@ -148,7 +148,16 @@ def build_lcp_array_sharded(text, sa, mesh: Mesh | None = None) -> jnp.ndarray:
     padded to the mesh-aligned bucket with pad suffixes (all ranked below
     real ones) occupying the head of the padded SA in descending position
     order, so real SA neighbors stay adjacent.
+
+    Texts past SA_LCP_BIG_MIN (default 8 MiB) route to the sharded
+    carried-keys rebuild (parallel/bigsort.py ``want_lcp``) when it is
+    feasible — same rationale as core.lcp.build_lcp_array: the rebuild's
+    single distributed sort outruns the PLCP rounds, whose scan-class
+    per-chip programs price at minutes-to-hours of remote compile on
+    real TPU meshes. Falls back here on refusal.
     """
+    import os
+
     if mesh is None:
         mesh = make_mesh()
     S = int(mesh.devices.size)
@@ -156,6 +165,23 @@ def build_lcp_array_sharded(text, sa, mesh: Mesh | None = None) -> jnp.ndarray:
     n = int(arr.shape[0])
     if n == 0:
         return jnp.zeros((0,), jnp.int32)
+
+    if n > int(os.environ.get("SA_LCP_BIG_MIN", 1 << 23)) and \
+            n < (1 << 31) - 1:           # wide-index can't carry lcp
+        from hpc_suffix_array_tpu.core.bigsort import (
+            RESIDUE_SLOTS, residue_feasible)
+        from hpc_suffix_array_tpu.parallel.bigsort import (
+            build_suffix_array_sharded_big)
+
+        host = np.asarray(arr)
+        # The per-shard residue caps scale with the mesh size.
+        if residue_feasible(host, n, S * RESIDUE_SLOTS / 4):
+            try:
+                _sa, lcp = build_suffix_array_sharded_big(
+                    host, mesh, want_lcp=True)
+                return lcp
+            except NotImplementedError:
+                pass                     # degenerate: PLCP handles any skew
 
     n_pad = bucket_size(n, multiple_of=S * 128)
     m = n_pad // S
