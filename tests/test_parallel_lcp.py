@@ -14,6 +14,10 @@ from hpc_suffix_array_tpu.parallel.lcp import build_lcp_array_sharded
 
 from tests.conftest import CANONICAL
 
+ALNUM = np.frombuffer(
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+    np.uint8)
+
 
 @pytest.fixture(scope="module", params=[2, 8])
 def mesh(request):
@@ -54,3 +58,27 @@ def test_matches_single_device(mesh, rng):
     assert np.array_equal(
         np.asarray(build_lcp_array(text, sa1)),
         np.asarray(build_lcp_array_sharded(text, sa2, mesh)))
+
+
+def test_big_route_carried_keys(mesh, rng, monkeypatch):
+    """Past SA_LCP_BIG_MIN the sharded LCP rebuilds via the one-pass MSD
+    carried-keys path (parallel/lcp.py big route); byte-equal to Kasai."""
+    monkeypatch.setenv("SA_LCP_BIG_MIN", "4000")
+    text = ALNUM[rng.integers(0, 62, 20_000)].tobytes()
+    _check(text, mesh)
+
+
+def test_big_route_periodic_chain(mesh, monkeypatch):
+    """Globally periodic text takes the chain rule inside the rebuild."""
+    monkeypatch.setenv("SA_LCP_BIG_MIN", "4000")
+    _check((b"bananarama" * 2000)[:19_000], mesh)
+
+
+def test_big_route_skew_falls_back(mesh, monkeypatch):
+    """A single long repeated block defeats the residue predictor; the
+    route must fall back to the distributed PLCP, still byte-exact."""
+    monkeypatch.setenv("SA_LCP_BIG_MIN", "4000")
+    rng = np.random.default_rng(7)
+    t = ALNUM[rng.integers(0, 62, 16_000)]
+    t[8_000:12_000] = t[1_000:5_000]
+    _check(t.tobytes(), mesh)
