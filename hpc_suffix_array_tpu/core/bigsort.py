@@ -93,7 +93,11 @@ from jax import lax
 from hpc_suffix_array_tpu.core.suffix_array import (
     alphabet_remap, as_byte_array, bucket_size)
 
-PAD_KEY = jnp.int32(1) << 30     # > any 30-bit packed word
+# > any 30-bit packed word. np.int32 (not jnp): a module-scope jnp
+# constant eagerly creates a device buffer at import, initializing the
+# backend before any caller can configure platforms/meshes — on this
+# image that grabs the single-tenant TPU chip for every import.
+PAD_KEY = np.int32(1 << 30)
 RESIDUE_SLOTS = 1 << 15          # extracted tie pairs per bucket (fetch cap)
 HALO = 128                       # text halo: >= 3*spw + slack symbols
 MAX_PASS_ELEMS = 1 << 28         # padded elements one bucket sort may hold

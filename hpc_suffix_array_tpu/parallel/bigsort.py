@@ -56,7 +56,8 @@ from hpc_suffix_array_tpu.parallel.bitonic import block_bitonic_sort
 from hpc_suffix_array_tpu.parallel.mesh import (
     SEQ_AXIS, make_mesh, sequence_sharding)
 
-_BIG = jnp.int32(1) << 30
+_BIG = np.int32(1 << 30)   # np, not jnp: no device buffer at import
+#                            (backend init before callers configure it)
 
 
 def _boundary_prev(cols, axis_name: str, n_shards: int):
