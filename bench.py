@@ -191,13 +191,24 @@ def measure_tpu(n: int, reps: int) -> float:
     return best, {"path": "doubling", "rounds": int(jax.device_get(rounds))}
 
 
+# Best -O3 C reference throughput ever measured on this machine
+# (2026-08-18 session-4 run: 5.685 MB/s at 2^24). The VM's host pager
+# degrades unpredictably; flooring at the best-ever measurement keeps a
+# degraded run from understating the reference and flattering
+# vs_baseline (a degraded 2026-08-19 run measured 4.45 MB/s -> 27.9x
+# for the same 124 MB/s build that is honestly 21.8x).
+_C_BASELINE_FLOOR = 5.685e6
+
+
 def measure_c_baseline(n: int) -> float | None:
     """Bytes/sec of the reference sequential C build (SA phase only)."""
     cache = REPO / "results" / "baseline_c.json"
     if cache.exists():
         data = json.loads(cache.read_text())
         if data.get("bytes") == n:
-            return data["bytes_per_sec"]
+            bps = float(data["bytes_per_sec"])
+            # Apply the floor to stale caches written before a raise.
+            return max(bps, _C_BASELINE_FLOOR) if n == 1 << 24 else bps
     try:
         with tempfile.TemporaryDirectory() as td:
             exe = os.path.join(td, "main_sequential")
@@ -217,11 +228,7 @@ def measure_c_baseline(n: int) -> float | None:
                 return None
             bps = n / float(m.group(1))
             if n == 1 << 24:
-                # Floor at the best -O3 C time measured on this machine
-                # (4.449 MB/s, round-1 driver run): this VM's host pager
-                # degrades unpredictably and would otherwise understate
-                # the reference, flattering vs_baseline.
-                bps = max(bps, 4.449e6)
+                bps = max(bps, _C_BASELINE_FLOOR)
             cache.parent.mkdir(parents=True, exist_ok=True)
             cache.write_text(json.dumps(
                 {"bytes": n, "bytes_per_sec": bps}))
