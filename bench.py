@@ -333,10 +333,13 @@ def main() -> None:
                     sa = execute_direct(dict(state))         # warmup
                     jax.device_get(sa[-1])
                     del sa
-                    t0 = time.perf_counter()
-                    sa = execute_direct(dict(state))
-                    jax.device_get(sa[-1])
-                    dt = time.perf_counter() - t0
+                    dt = float("inf")     # best-of-2: one host stall
+                    for _ in range(2):    # must not poison the record
+                        t0 = time.perf_counter()
+                        sa = execute_direct(dict(state))
+                        jax.device_get(sa[-1])
+                        dt = min(dt, time.perf_counter() - t0)
+                        del sa
                     extra["path"] = ("direct_chain"
                                      if state["meta"].get("chain_mode")
                                      else "direct_sort")
@@ -349,10 +352,12 @@ def main() -> None:
                          jnp.int32(nsec))
                     sa, _r, _rounds = suffix_array_from_bytes_kernel(*a)
                     jax.device_get(sa[-1])
-                    t0 = time.perf_counter()
-                    sa, _r, rounds = suffix_array_from_bytes_kernel(*a)
-                    jax.device_get(sa[-1])
-                    dt = time.perf_counter() - t0
+                    dt = float("inf")
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        sa, _r, rounds = suffix_array_from_bytes_kernel(*a)
+                        jax.device_get(sa[-1])
+                        dt = min(dt, time.perf_counter() - t0)
                     extra["rounds"] = int(jax.device_get(rounds))
                 print(json.dumps({
                     "metric": f"sa_build_{tag}",
@@ -382,10 +387,13 @@ def main() -> None:
             lcp = build_lcp_array_sorted(arr, sa, lstate)     # warmup
             jax.device_get(lcp[-1])
             del lcp
-            t0 = time.perf_counter()
-            lcp = build_lcp_array_sorted(arr, sa, lstate)
-            jax.device_get(lcp[-1])
-            dt = time.perf_counter() - t0
+            dt = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                lcp = build_lcp_array_sorted(arr, sa, lstate)
+                jax.device_get(lcp[-1])
+                dt = min(dt, time.perf_counter() - t0)
+                del lcp
             print(json.dumps({
                 "metric": "lcp_build",
                 "value": round(nl / dt / 1e6, 3),
