@@ -188,6 +188,7 @@ def measure_tpu(n: int, reps: int) -> float:
         sa, _r, rounds = suffix_array_from_bytes_kernel(*args)
         jax.device_get(sa[-1])
         best = min(best, time.perf_counter() - t0)
+        del sa     # free before the next rep (peak memory)
     return best, {"path": "doubling", "rounds": int(jax.device_get(rounds))}
 
 
@@ -207,8 +208,17 @@ def measure_c_baseline(n: int) -> float | None:
         data = json.loads(cache.read_text())
         if data.get("bytes") == n:
             bps = float(data["bytes_per_sec"])
-            # Apply the floor to stale caches written before a raise.
-            return max(bps, _C_BASELINE_FLOOR) if n == 1 << 24 else bps
+            raw = float(data.get("raw_bytes_per_sec", bps))
+            if n == 1 << 24:
+                # Apply the floor to stale caches written before a raise,
+                # but keep the raw measurement auditable on stderr.
+                floored = max(bps, _C_BASELINE_FLOOR)
+                if floored > raw:
+                    print(f"c_baseline: raw {raw/1e6:.3f} MB/s floored to "
+                          f"{floored/1e6:.3f} (best-ever on this machine; "
+                          "degraded-VM guard)", file=sys.stderr)
+                return floored
+            return bps
     try:
         with tempfile.TemporaryDirectory() as td:
             exe = os.path.join(td, "main_sequential")
@@ -226,12 +236,16 @@ def measure_c_baseline(n: int) -> float | None:
             m = re.search(r"SA_TIME:\s*([0-9.]+)", out)
             if not m:
                 return None
-            bps = n / float(m.group(1))
-            if n == 1 << 24:
-                bps = max(bps, _C_BASELINE_FLOOR)
+            raw = n / float(m.group(1))
+            bps = max(raw, _C_BASELINE_FLOOR) if n == 1 << 24 else raw
+            if bps > raw:
+                print(f"c_baseline: raw {raw/1e6:.3f} MB/s floored to "
+                      f"{bps/1e6:.3f} (best-ever on this machine; "
+                      "degraded-VM guard)", file=sys.stderr)
             cache.parent.mkdir(parents=True, exist_ok=True)
             cache.write_text(json.dumps(
-                {"bytes": n, "bytes_per_sec": bps}))
+                {"bytes": n, "bytes_per_sec": bps,
+                 "raw_bytes_per_sec": raw}))
             return bps
     except Exception:
         return None
@@ -352,12 +366,14 @@ def main() -> None:
                          jnp.int32(nsec))
                     sa, _r, _rounds = suffix_array_from_bytes_kernel(*a)
                     jax.device_get(sa[-1])
+                    del sa
                     dt = float("inf")
                     for _ in range(2):
                         t0 = time.perf_counter()
                         sa, _r, rounds = suffix_array_from_bytes_kernel(*a)
                         jax.device_get(sa[-1])
                         dt = min(dt, time.perf_counter() - t0)
+                        del sa     # free before the next rep (peak memory)
                     extra["rounds"] = int(jax.device_get(rounds))
                 print(json.dumps({
                     "metric": f"sa_build_{tag}",

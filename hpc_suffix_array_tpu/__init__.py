@@ -26,7 +26,7 @@ from hpc_suffix_array_tpu.core.suffix_array import (
     SuffixArray,
     build_suffix_array,
 )
-from hpc_suffix_array_tpu.core.lcp import build_lcp_array
+from hpc_suffix_array_tpu.core.lcp import build_lcp_array, build_sa_lcp
 from hpc_suffix_array_tpu.core.lrs import find_longest_repeated_substring
 from hpc_suffix_array_tpu.core.validate import is_valid_suffix_array
 from hpc_suffix_array_tpu.parallel import (
@@ -42,6 +42,7 @@ __all__ = [
     "build_suffix_array_sharded",
     "make_mesh",
     "build_lcp_array",
+    "build_sa_lcp",
     "find_longest_repeated_substring",
     "is_valid_suffix_array",
     "__version__",

@@ -159,6 +159,48 @@ def lcp_from_plcp(plcp: jnp.ndarray, sa: jnp.ndarray):
     return lcp.at[0].set(0) if n else lcp
 
 
+def _sa_lcp_big(text, n: int):
+    """(sa, lcp) via the carried-keys machinery, or None when the text is
+    too degenerate for it (the window paths handle those)."""
+    from hpc_suffix_array_tpu.core.bigsort import (
+        build_suffix_array_big, build_suffix_array_direct, direct_feasible)
+
+    host = np.asarray(as_byte_array(text))   # host copy for planning
+    if direct_feasible(host, n):
+        try:
+            return build_suffix_array_direct(host, want_lcp=True)
+        except NotImplementedError:
+            pass
+    try:
+        return build_suffix_array_big(host, want_lcp=True)
+    except NotImplementedError:
+        return None
+
+
+def build_sa_lcp(text) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused (suffix array, LCP array) build — the contract the reference
+    CLI always serves (SA_TIME + LCP_TIME per run, main_sequential.c:41-49).
+
+    Above SA_LCP_BIG_MIN this is ONE carried-keys pass (the LCP falls out
+    of the sort keys, core/bigsort.py ``want_lcp``) — the production route
+    for benchmark-scale texts, where a separate SA-then-LCP pair of calls
+    would re-derive the suffix order twice. Below it, the standard
+    builders run back to back.
+    """
+    import os
+
+    arr = as_byte_array(text)
+    n = int(arr.shape[0])
+    if n > int(os.environ.get("SA_LCP_BIG_MIN", 1 << 23)):
+        derived = _sa_lcp_big(arr, n)
+        if derived is not None:
+            return derived
+    from hpc_suffix_array_tpu.core.suffix_array import build_suffix_array
+
+    sa = build_suffix_array(arr)
+    return sa, build_lcp_array(arr, sa)
+
+
 def build_lcp_array(text, sa) -> jnp.ndarray:
     """LCP array: lcp[j] = LCP(suffix sa[j-1], suffix sa[j]); lcp[0] = 0.
 
@@ -177,11 +219,15 @@ def build_lcp_array(text, sa) -> jnp.ndarray:
     sorted-fetch ~99 MB/s at 2^24, 163.2 vs 99 at 2^26, 142.3 vs 86.4
     at 2^28; MSD 122.4 at 2^30 — the sorted-fetch permutation sorts
     can't chunk, so their per-element bitonic cost grows with n, and
-    beyond 256 MiB they stop fitting HBM anyway). The ``sa`` argument
-    is only validated for shape there: for the (only supported) case
-    where ``sa`` is the text's true suffix array the result is
-    identical, matching the reference's Kasai contract which equally
-    assumes a correct SA (src/sequential/manber_myers.c:135).
+    beyond 256 MiB they stop fitting HBM anyway). Because that route
+    re-derives the order, the supplied ``sa`` is cross-checked against
+    the derived one (a single fused equality-reduce on device — the
+    array was already staged) and a mismatch raises ValueError: a
+    caller passing a wrong-but-valid permutation gets an error, never
+    a silently ignored argument. The reference's Kasai contract equally
+    assumes a correct SA (src/sequential/manber_myers.c:135) but walks
+    it blindly; see also ``build_sa_lcp`` for the fused build that
+    needs no precomputed SA.
     """
     import os
 
@@ -193,22 +239,17 @@ def build_lcp_array(text, sa) -> jnp.ndarray:
     if sa.shape[0] != n:
         raise ValueError(f"sa length {sa.shape[0]} != text length {n}")
     if n > int(os.environ.get("SA_LCP_BIG_MIN", 1 << 23)):
-        from hpc_suffix_array_tpu.core.bigsort import (
-            build_suffix_array_big, build_suffix_array_direct,
-            direct_feasible)
-
-        host = np.asarray(as_byte_array(text))   # host copy for planning
-        if direct_feasible(host, n):
-            try:
-                _sa, lcp = build_suffix_array_direct(host, want_lcp=True)
-                return lcp
-            except NotImplementedError:
-                pass
-        try:
-            _sa, lcp = build_suffix_array_big(host, want_lcp=True)
+        derived = _sa_lcp_big(text, n)
+        if derived is not None:
+            _sa, lcp = derived
+            if not bool(jax.device_get(jnp.all(_sa == sa))):
+                raise ValueError(
+                    "supplied sa is not the suffix array of text: the "
+                    "large-text LCP route derives the order from the text "
+                    "(carried-keys build) and honors `sa` by cross-checking "
+                    "it, so a different permutation cannot be served "
+                    "silently; pass the true SA or call build_sa_lcp(text)")
             return lcp
-        except NotImplementedError:
-            pass        # degenerate text: the window paths below handle it
     if n > int(os.environ.get("SA_LCP_WINDOW_MIN", 1 << 22)):
         if os.environ.get("SA_LCP_FETCH", "sorted") == "window":
             from hpc_suffix_array_tpu.core.lcp_window import (

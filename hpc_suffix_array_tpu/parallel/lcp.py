@@ -21,6 +21,16 @@ block-sharded over the mesh:
     compile-time reason).
 
 Output is bit-identical to core/lcp.py / Kasai on the real text.
+
+**Scale note (CPU-mesh only at benchmark sizes).** Like core/lcp.py's
+PLCP round, this program class (scans + pointer-jumping gathers) costs
+minutes-to-hours of remote compile through the TPU tunnel at 2^24+ shapes
+(measured r2, TODO.md "remote-compile economics") — on real TPU it is
+effectively compile-infeasible at benchmark sizes. The production route
+for large sharded texts is the carried-keys one-pass build with
+``want_lcp`` (parallel/bigsort.py), which parallel's build_lcp_array_sharded
+routes to above SA_LCP_BIG_MIN; this module remains the general-permutation
+fallback and is exercised on the virtual CPU mesh (tests, dryrun).
 """
 
 from __future__ import annotations

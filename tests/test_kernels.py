@@ -33,14 +33,27 @@ def test_pack_zero_tail(rng):
     assert np.array_equal(got, _reference_pack(codes, 2, 15))
 
 
+def _load_radix_write():
+    """The retired radix pass lives under experiments/ (r2 FINAL VERDICT:
+    measured dead end, kept as the reference implementation of the
+    approach); import it by path so the package tree stays live-code-only."""
+    import importlib.util
+    import pathlib
+    path = pathlib.Path(__file__).resolve().parents[1] / "experiments" /         "radix_write.py"
+    spec = importlib.util.spec_from_file_location("radix_write_exp", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 class TestRadix:
     """Pallas radix pass (interpret mode; retained as a documented dead
-    end - see kernels/radix_write.py FINAL VERDICT)."""
+    end - see experiments/radix_write.py FINAL VERDICT)."""
 
     def test_dma_pass(self, rng):
         import jax.numpy as jnp
-        from hpc_suffix_array_tpu.kernels.radix_write import (
-            BLOCK, radix_pass_dma)
+        rw = _load_radix_write()
+        BLOCK, radix_pass_dma = rw.BLOCK, rw.radix_pass_dma
 
         n = BLOCK * 2
         for name, keys in [
@@ -64,8 +77,9 @@ class TestRadix:
         from jax import lax
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
-        from hpc_suffix_array_tpu.kernels.radix_write import (
-            SUBL, LANES, _inclusive_scan_flat)
+        rw = _load_radix_write()
+        SUBL, LANES, _inclusive_scan_flat = (
+            rw.SUBL, rw.LANES, rw._inclusive_scan_flat)
 
         def kern(m_ref, out_ref):
             row = lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 0)
