@@ -82,6 +82,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -387,6 +388,87 @@ def _scatter_chunk(m: int, spw: int, bits: int, W: int, keys: int,
     return k0B, k1B, idxB
 
 
+def _chunk_boundaries(s_k0, e0, m_real, NB: int):
+    """Exact run starts of the NB bucket runs in a sorted chunk.
+
+    Two-level structure replacing jnp.searchsorted (whose scan-based
+    binary search measured 3.8 ms per 2^23 chunk on v5e — 0.49 s over
+    the 1 GiB build, most of the count pass it is meant to replace;
+    this is ~0.3 ms): a stride-32 subsample compare gives every edge's
+    position to within 32, then one fused 32-wide window compare
+    finishes exactly. PAD_KEY tail entries exceed every edge, so they
+    never perturb the counts; ``m_real`` caps the last run.
+
+    Returns bnd int32[NB]: run b occupies [bnd[b], bnd[b] + len_b) with
+    len_b = bnd[b+1] - bnd[b] (len_{NB-1} = m_real - bnd[NB-1]).
+    """
+    L = s_k0.shape[0]
+    stride = 32
+    sub = lax.slice(s_k0, (0,), (L,), (stride,))          # ceil(L/32)
+    # coarse[e] = #(sub < e) -> window start (coarse-1)*32 covers the edge.
+    coarse = jnp.sum((sub[None, :] < e0[:, None]).astype(jnp.int32),
+                     axis=1)
+    start = jnp.maximum(coarse - 1, 0) * stride
+    win = s_k0[jnp.minimum(
+        start[:, None] + lax.iota(jnp.int32, stride)[None, :], L - 1)]
+    fine = jnp.sum((win < e0[:, None]).astype(jnp.int32), axis=1)
+    pos = jnp.minimum(start + fine, m_real)
+    return jnp.concatenate([jnp.zeros((1,), jnp.int32), pos])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+                   donate_argnums=(5, 6, 7, 8))
+def _scatter_chunk_cf(m: int, spw: int, bits: int, W: int, NB: int,
+                      k0B, k1B, idxB, fill, text_pad, vals, e0, base,
+                      start, n, ranges=None):
+    """Count-free ``_scatter_chunk``: no precomputed counts needed.
+
+    The chunk is sorted as usual; its run boundaries come from an exact
+    in-program boundary search on the sorted keys (``_chunk_boundaries``)
+    and each run's destination from ``base[b] + fill[b]``, where ``fill``
+    is the device-resident running vector (NB fills + a trailing
+    max-run-length cell) threaded through the chunk sequence. This
+    deletes the standalone count pass (measured 0.69 s of the 8.7 s
+    1 GiB build): the slab layout ``base`` comes from the quantile-edge
+    expectation (every bucket targets n/NB elements) plus a margin; a
+    bucket overflowing its capacity — or a run overflowing the W window
+    — is detected from the final fill vector and the build re-runs on
+    the exact two-pass path (see execute_big). k0-only edges ONLY
+    (bucket id is a function of k0; pair-edge plans keep the two-pass
+    path).
+
+    Returns the updated slabs and fill vector.
+    """
+    k0, k1 = _chunk_codes(m, spw, bits, text_pad, vals, start, n,
+                          ranges=ranges)
+    pos = start + lax.iota(jnp.int32, m)
+    ok = pos < n
+    k0 = jnp.where(ok, k0, PAD_KEY)
+    k1 = jnp.where(ok, k1, PAD_KEY)
+    padk = jnp.full((W,), PAD_KEY, jnp.int32)
+    s_k0, s_k1, s_idx = lax.sort(
+        (jnp.concatenate([k0, padk]), jnp.concatenate([k1, padk]),
+         jnp.concatenate([pos, padk])),
+        num_keys=1, is_stable=False)
+    m_real = jnp.clip(n - start, 0, m)
+    bnd = _chunk_boundaries(s_k0, e0, m_real, NB)
+    counts = jnp.concatenate([bnd[1:], m_real[None]]) - bnd
+    dest = base + fill[:NB]
+    # Same fence as _scatter_chunk (see its comment): keep the window
+    # slices out of the sort's output copies.
+    s_k0, s_k1, s_idx = lax.optimization_barrier((s_k0, s_k1, s_idx))
+    for b in range(NB):
+        k0B = lax.dynamic_update_slice(
+            k0B, lax.dynamic_slice(s_k0, (bnd[b],), (W,)), (dest[b],))
+        k1B = lax.dynamic_update_slice(
+            k1B, lax.dynamic_slice(s_k1, (bnd[b],), (W,)), (dest[b],))
+        idxB = lax.dynamic_update_slice(
+            idxB, lax.dynamic_slice(s_idx, (bnd[b],), (W,)), (dest[b],))
+    new_fill = jnp.concatenate(
+        [fill[:NB] + counts, jnp.maximum(fill[NB:], jnp.max(counts)[None])])
+    return k0B, k1B, idxB, new_fill
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _bucket_sort(S: int, desc_idx: bool, want_lcp: bool, spw: int,
                  bits: int, k0B, k1B, idxB, base, n_b, n,
@@ -416,7 +498,17 @@ def _bucket_sort(S: int, desc_idx: bool, want_lcp: bool, spw: int,
     k1 = jnp.where(ok, lax.dynamic_slice(k1B, (base,), (S,)), PAD_KEY)
     idx = lax.dynamic_slice(idxB, (base,), (S,))
     tb = jnp.where(ok, (n - idx) if desc_idx else idx, big)
-    sk0, sk1, st = lax.sort((k0, k1, tb), num_keys=3)
+    # Chain mode (desc) NEEDS tb as a key: tied chain members must come
+    # out in descending-index order. Ascending mode does not — every
+    # tied group is reordered exactly by the host residue pass, which is
+    # order-independent (_resolve_residue_host), so tb rides as payload
+    # and the comparator drops a key. Neither needs stability (the key
+    # tuple incl. tb is fully distinct in chain mode; ascending tie
+    # order is don't-care): measured v5e 2^23 3-op sorts 32.9 ms stable
+    # 3-key vs 26.3 unstable 3-key vs 24.7 unstable 2-key
+    # (experiments/merge_ab.py, 2026-08-19) — 20-25% off the pass.
+    sk0, sk1, st = lax.sort((k0, k1, tb), num_keys=3 if desc_idx else 2,
+                            is_stable=False)
     # No post-sort fence here: unlike _scatter_chunk's window writes,
     # these consumers are elementwise and an optimization_barrier
     # measured exactly neutral (5.23 vs 5.22 s pass total at 2^30,
@@ -783,8 +875,10 @@ def _apply_residue(sa, lcp, arr, patches, n: int, want_lcp: bool):
 
 def execute_big(state, *, max_bucket_elems: int | None = None,
                 force_chain_mode: bool | None = None,
-                want_lcp: bool = False) -> jnp.ndarray:
-    """Run count + scatter + bucket passes; returns the SA (device int32[n]).
+                want_lcp: bool = False,
+                count_free: bool | None = None) -> jnp.ndarray:
+    """Run scatter + bucket passes (+ count pass when not count-free);
+    returns the SA (device int32[n]).
 
     Chain mode (descending tiebreak for globally periodic texts) is
     chosen up front from the host repeat estimate — the compact output
@@ -799,6 +893,14 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
     (src/sequential/main_sequential.c:41-49); at 1 GiB this is the only
     path — a standalone full-text sort for LCP would cost as much as
     the build itself.
+
+    ``count_free`` (default: auto, k0-only plans): skip the standalone
+    count pass — slab layout from the quantile-edge expectation, exact
+    run boundaries searched in-program on each sorted chunk, dest
+    offsets from a device-resident running fill vector
+    (``_scatter_chunk_cf``). Overflowing the estimated capacity re-runs
+    on the exact two-pass path once (recorded in
+    ``plan.meta["rerun"]``, like the chain-direction mispredictions).
     """
     plan: BigPlan = state["plan"]
     text_pad = state["text_pad"]
@@ -810,70 +912,130 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
     NB = plan.n_buckets
     _stamps = [("start", time.perf_counter())]
 
-    # --- pass A: count ------------------------------------------------
-    cnt_ge = np.asarray(jax.device_get(_count_chunks(
-        C, m, plan.spw, plan.bits, text_pad, vals_d, e0, e1,
-        jnp.int32(n), ranges,
-        not bool(plan.e1.any())))).astype(np.int64)          # (C, E)
-    real = np.minimum(m, np.maximum(0, n - np.arange(C) * m))
-    full = np.concatenate(
-        [real[:, None], cnt_ge, np.zeros((C, 1), np.int64)], axis=1)
-    counts = full[:, :-1] - full[:, 1:]                      # (C, NB)
-    plan.counts = counts
-    fills = counts.sum(axis=0)
-    assert fills.sum() == n, (fills.sum(), n)
-    _stamps.append(("count", time.perf_counter()))
-
     chain_mode = force_chain_mode
     if chain_mode is None:
         chain_mode = plan.meta.get("est_repeat", 0) > 2 * plan.spw
+    k0_only = not bool(plan.e1.any())
+    if count_free is None:
+        count_free = (k0_only and NB >= 2 and
+                      os.environ.get("SA_BIG_COUNT_FREE", "1") == "1")
 
-    # --- host layout ---------------------------------------------------
-    # Geometry invariants (all writes are unmasked fixed-width):
-    #   scatter run write:  dest[c][b] + W  <= base[b+1]   (G_b >= W)
-    #   compact out write:  out_base[b] + S_b <= base[b+1]
-    #       <=> S_b - fills[b] <= sum_{b'<=b} G_b'  (G_0 >= max slack)
-    W = int(bucket_size(int(counts.max())))
+    pass_cap = max_bucket_elems or MAX_PASS_ELEMS
+    if count_free:
+        # --- count-free: estimated layout + one-pass scatter -----------
+        # Quantile edges target n/NB elements per bucket and m/NB per
+        # run; the margin covers the sampler's quantile error (rel sigma
+        # = sqrt(NB/sample) ~ 0.8 % at the 1 GiB geometry — 6 % is >7
+        # sigma). Genuinely skewed texts (heavy k0 values, merged
+        # quantile edges) overflow the capacity or the W window and
+        # re-run on the exact two-pass path below (meta["rerun"]).
+        # Geometry invariants as in the exact branch, with fills
+        # replaced by their cap: S_b <= bucket_size(cap_fill) and
+        # sum fills[<b] <= b*cap_fill, so G_0 >= bucket_size(cap)-cap
+        # keeps every compact write inside the gaps.
+        margin = float(os.environ.get("SA_CF_MARGIN", "0.06"))
+        cap_fill = int(n / NB * (1 + margin)) + 256
+        W = int(bucket_size(int(m / NB * (1 + margin)) + 256))
+        g0 = max(W, int(bucket_size(cap_fill)) - cap_fill + 64)
+        base = np.zeros(NB + 1, np.int64)
+        for b in range(1, NB + 1):
+            base[b] = b * (cap_fill + W) + (g0 - W)
+        slab_len = max(int(base[NB]),
+                       int(base[NB - 1]) + int(bucket_size(cap_fill)))
+
+        idxB = jnp.zeros((slab_len,), jnp.int32)
+        k0B = jnp.zeros((slab_len,), jnp.int32)
+        k1B = jnp.zeros((slab_len,), jnp.int32)
+        fill_d = jnp.zeros((NB + 1,), jnp.int32)
+        base_d = jnp.asarray(base[:NB].astype(np.int32))
+        for c in range(C):
+            k0B, k1B, idxB, fill_d = _scatter_chunk_cf(
+                m, plan.spw, plan.bits, W, NB, k0B, k1B, idxB, fill_d,
+                text_pad, vals_d, e0, base_d, jnp.int32(c * m),
+                jnp.int32(n), ranges)
+        fill_w = np.asarray(jax.device_get(fill_d)).astype(np.int64)
+        fills, max_run = fill_w[:NB], int(fill_w[NB])
+        assert fills.sum() == n, (fills.sum(), n)     # boundary-search inv.
+        plan.counts = None
+        _stamps.append(("scatter", time.perf_counter()))
+        if max_run > W or (fills > cap_fill).any():
+            del idxB, k0B, k1B, fill_d      # free before re-running
+            plan.meta.setdefault("rerun", []).append("count_free_overflow")
+            return execute_big(state, max_bucket_elems=max_bucket_elems,
+                               force_chain_mode=force_chain_mode,
+                               want_lcp=want_lcp, count_free=False)
+    else:
+        # --- pass A: count ----------------------------------------------
+        cnt_ge = np.asarray(jax.device_get(_count_chunks(
+            C, m, plan.spw, plan.bits, text_pad, vals_d, e0, e1,
+            jnp.int32(n), ranges, k0_only))).astype(np.int64)    # (C, E)
+        real = np.minimum(m, np.maximum(0, n - np.arange(C) * m))
+        full = np.concatenate(
+            [real[:, None], cnt_ge, np.zeros((C, 1), np.int64)], axis=1)
+        counts = full[:, :-1] - full[:, 1:]                      # (C, NB)
+        plan.counts = counts
+        fills = counts.sum(axis=0)
+        assert fills.sum() == n, (fills.sum(), n)
+        _stamps.append(("count", time.perf_counter()))
+
+        # --- host layout -------------------------------------------------
+        # Geometry invariants (all writes are unmasked fixed-width):
+        #   scatter run write:  dest[c][b] + W  <= base[b+1]   (G_b >= W)
+        #   compact out write:  out_base[b] + S_b <= base[b+1]
+        #       <=> S_b - fills[b] <= sum_{b'<=b} G_b'  (G_0 >= max slack)
+        W = int(bucket_size(int(counts.max())))
+        S_pre = {b: bucket_size(int(fills[b]))
+                 for b in range(NB) if fills[b]}
+        if S_pre and max(S_pre.values()) > pass_cap:
+            raise NotImplementedError(
+                f"bucket skew: one bucket holds {int(fills.max())} of "
+                f"n={n} elements; the text's prefix distribution is too "
+                "degenerate for the out-of-core path - use the doubling "
+                "kernel (<=256 MB) or the sharded multi-chip build")
+        slack = max((S_pre[b] - int(fills[b]) for b in S_pre), default=0)
+        gaps = [max(W, slack)] + [W] * (NB - 1)
+        base = np.zeros(NB + 1, np.int64)
+        acc = 0
+        for b in range(NB):
+            base[b] = acc
+            acc += int(fills[b]) + gaps[b]
+        base[NB] = acc
+        slab_len = max(int(acc),
+                       max((int(base[b]) + S_pre[b] for b in S_pre),
+                           default=0))
+        dest = base[None, :NB] + np.concatenate(
+            [np.zeros((1, NB), np.int64),
+             counts.cumsum(axis=0)[:-1]])                        # (C, NB)
+
+        # --- pass B: scatter into bucket-major slabs ----------------------
+        idxB = jnp.zeros((slab_len,), jnp.int32)
+        k0B = jnp.zeros((slab_len,), jnp.int32)
+        k1B = jnp.zeros((slab_len,), jnp.int32)
+        bnd = np.concatenate(
+            [np.zeros((C, 1), np.int64), counts.cumsum(axis=1)[:, :-1]],
+            axis=1)
+        keys = 1 if k0_only else 2          # k0-only edges -> 1-key sort
+        for c in range(C):
+            k0B, k1B, idxB = _scatter_chunk(
+                m, plan.spw, plan.bits, W, keys, k0B, k1B, idxB, text_pad,
+                vals_d, jnp.asarray(dest[c].astype(np.int32)),
+                jnp.asarray(bnd[c].astype(np.int32)),
+                jnp.int32(c * m), jnp.int32(n), ranges)
+        _ = jax.device_get(idxB[0])                              # fence
+        _stamps.append(("scatter", time.perf_counter()))
+
+    # --- shared post-scatter layout (exact fills either way) -----------
     live = [b for b in range(NB) if fills[b]]
     S_of = {b: bucket_size(int(fills[b])) for b in live}
-    cap = max_bucket_elems or MAX_PASS_ELEMS
-    if live and max(S_of.values()) > cap:
+    if live and max(S_of.values()) > pass_cap:
         raise NotImplementedError(
             f"bucket skew: one bucket holds {int(fills.max())} of n={n} "
             "elements; the text's prefix distribution is too degenerate "
             "for the out-of-core path - use the doubling kernel "
             "(<=256 MB) or the sharded multi-chip build")
-    slack = max((S_of[b] - int(fills[b]) for b in live), default=0)
-    gaps = [max(W, slack)] + [W] * (NB - 1)
-    base = np.zeros(NB + 1, np.int64)
-    out_base = np.zeros(NB, np.int64)
-    acc = out = 0
-    for b in range(NB):
-        base[b] = acc
-        out_base[b] = out
-        acc += int(fills[b]) + gaps[b]
-        out += int(fills[b])
-    base[NB] = acc
-    slab_len = max(int(acc),
-                   max((int(base[b]) + S_of[b] for b in live), default=0))
-    dest = base[None, :NB] + np.concatenate(
-        [np.zeros((1, NB), np.int64), counts.cumsum(axis=0)[:-1]])  # (C, NB)
-
-    # --- pass B: scatter into bucket-major slabs ------------------------
-    idxB = jnp.zeros((slab_len,), jnp.int32)
-    k0B = jnp.zeros((slab_len,), jnp.int32)
-    k1B = jnp.zeros((slab_len,), jnp.int32)
-    bnd = np.concatenate(
-        [np.zeros((C, 1), np.int64), counts.cumsum(axis=1)[:, :-1]], axis=1)
-    keys = 1 if not plan.e1.any() else 2    # k0-only edges -> 1-key sort
-    for c in range(C):
-        k0B, k1B, idxB = _scatter_chunk(
-            m, plan.spw, plan.bits, W, keys, k0B, k1B, idxB, text_pad,
-            vals_d, jnp.asarray(dest[c].astype(np.int32)),
-            jnp.asarray(bnd[c].astype(np.int32)),
-            jnp.int32(c * m), jnp.int32(n), ranges)
-    _ = jax.device_get(idxB[0])                              # fence
-    _stamps.append(("scatter", time.perf_counter()))
+    out_base = np.concatenate([[0], fills.cumsum()[:-1]]).astype(np.int64)
+    for b in live:                           # compact-write invariant
+        assert int(out_base[b]) + S_of[b] <= int(base[b + 1]), (b, n)
 
     # --- pass C: per-bucket sort + compact write ------------------------
     pend = []
@@ -909,6 +1071,8 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
                     # Few irregular ties: the ascending + host-residue
                     # path handles this; chain mode was a misprediction.
                     del idxB, k0B, k1B      # free before re-running
+                    plan.meta.setdefault("rerun", []).append(
+                        "chain_to_ascending")
                     return execute_big(
                         state, max_bucket_elems=max_bucket_elems,
                         force_chain_mode=False, want_lcp=want_lcp)
@@ -928,6 +1092,8 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
                         # host residue handles it; chain mode was a
                         # misprediction.
                         del idxB, k0B, k1B
+                        plan.meta.setdefault("rerun", []).append(
+                            "chain_to_ascending")
                         return execute_big(
                             state, max_bucket_elems=max_bucket_elems,
                             force_chain_mode=False, want_lcp=want_lcp)
@@ -941,6 +1107,7 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
         # once in chain mode — the compact write already consumed the
         # slabs, so the passes must restart.
         del idxB, k0B, k1B                  # free before re-running
+        plan.meta.setdefault("rerun", []).append("ascending_to_chain")
         return execute_big(state, max_bucket_elems=max_bucket_elems,
                            force_chain_mode=True, want_lcp=want_lcp)
 
@@ -1031,37 +1198,101 @@ def build_suffix_array_big(text, **kw) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 6))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 6, 7))
 def _direct_keys(n_pad: int, spw: int, bits: int, text_ext, vals, n,
-                 ranges=None):
-    """(k0, k1, iota) for the whole text — PAD_KEY past n, so pads sort
-    to the tail and the first n sorted rows are the suffix array."""
-    pos_ext = lax.iota(jnp.int32, n_pad + 2 * spw)
+                 ranges=None, nw: int = 2):
+    """(k0, .., k_{nw-1}, iota) for the whole text — PAD_KEY past n, so
+    pads sort to the tail and the first n sorted rows are the suffix
+    array. ``nw`` carried words resolve nw*spw leading symbols."""
+    pos_ext = lax.iota(jnp.int32, n_pad + nw * spw)
     codes = codes_from_bytes(text_ext, vals, ranges)
     codes = jnp.where(pos_ext < n, codes, 0)
-    k0 = _dev_pack_word(codes, 0, spw, bits, n_pad)
-    k1 = _dev_pack_word(codes, spw, spw, bits, n_pad)
     iota = lax.iota(jnp.int32, n_pad)
     ok = iota < n
-    return (jnp.where(ok, k0, PAD_KEY), jnp.where(ok, k1, PAD_KEY), iota)
+    words = tuple(
+        jnp.where(ok, _dev_pack_word(codes, w * spw, spw, bits, n_pad),
+                  PAD_KEY)
+        for w in range(nw))
+    return words + (iota,)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _direct_sort3(desc_idx: bool, want_lcp: bool, spw: int, bits: int,
+                  k0, k1, k2, idx, n):
+    """3-word ``_bucket_sort`` for the direct path (small alphabets).
+
+    One extra carried word deepens the resolved window to 3*spw symbols,
+    shrinking the expected window-tied residue by sigma^spw — DNA at the
+    2^28 ladder config predicts ~2^16 tied pairs with 2 words (beyond
+    the extraction cap, so r2 routed it to the MSD's per-bucket caps)
+    and ~0 with 3. Costs one sort operand; routed only when 2 words are
+    residue-infeasible (``prepare_direct``). Single whole-text bucket:
+    the previous-bucket sentinel of ``_bucket_sort`` is inlined (-1
+    mismatches at bit 31, clamping lcp[0] to 0). Returns
+    (s_idx, tie flags, tie count, dmax, delta_ok, lcp int32).
+    """
+    S = k0.shape[0]
+    big = jnp.int32(1) << 30
+    iota = lax.iota(jnp.int32, S)
+    real = iota < n
+    tb = jnp.where(real, (n - idx) if desc_idx else idx, big)
+    # Same comparator economics as _bucket_sort: tb is a key only in
+    # chain mode; never stable (measured merge_ab.py 2026-08-19).
+    sk0, sk1, sk2, st = lax.sort((k0, k1, k2, tb),
+                                 num_keys=4 if desc_idx else 3,
+                                 is_stable=False)
+    s_idx = (n - st) if desc_idx else st
+    neg1 = jnp.full((1,), -1, jnp.int32)
+    pk0 = jnp.concatenate([neg1, sk0[:-1]])
+    pk1 = jnp.concatenate([neg1, sk1[:-1]])
+    pk2 = jnp.concatenate([neg1, sk2[:-1]])
+    tie = (sk0 == pk0) & (sk1 == pk1) & (sk2 == pk2) & real
+    prev_idx = jnp.concatenate([s_idx[:1], s_idx[:-1]])
+    delta = jnp.where(tie, (prev_idx - s_idx) if desc_idx
+                      else (s_idx - prev_idx), 0)
+    dmax = jnp.max(jnp.where(tie, delta, 0))
+    dmin = jnp.min(jnp.where(tie, delta, big))
+    delta_ok = (~jnp.any(tie)) | ((dmin == dmax) & (dmax >= 1))
+    if want_lcp:
+        depth = jnp.int32(3 * spw)
+        x0, x1, x2 = pk0 ^ sk0, pk1 ^ sk1, pk2 ^ sk2
+        off0 = jnp.where(x0 != 0,
+                         spw - 1 - (31 - lax.clz(x0)) // bits, depth)
+        off1 = jnp.where(x1 != 0,
+                         2 * spw - 1 - (31 - lax.clz(x1)) // bits, depth)
+        off2 = jnp.where(x2 != 0,
+                         3 * spw - 1 - (31 - lax.clz(x2)) // bits, depth)
+        lcp = jnp.maximum(
+            jnp.where(x0 != 0, off0, jnp.where(x1 != 0, off1, off2)), 0)
+        if desc_idx:
+            lcp = jnp.where(tie, n - prev_idx, lcp)
+        lcp32 = jnp.where(real, lcp, 0).astype(jnp.int32)
+    else:
+        lcp32 = jnp.zeros((1,), jnp.int32)
+    return (s_idx, tie.astype(jnp.int32), jnp.sum(tie.astype(jnp.int32)),
+            dmax, delta_ok.astype(jnp.int32), lcp32)
 
 
 def residue_feasible(arr: np.ndarray, n: int, cap: float,
-                     est_repeat: int | None = None) -> bool:
+                     est_repeat: int | None = None,
+                     words: int = 2) -> bool:
     """Expected window-tied residue fits ``cap`` — or the text looks
     globally periodic, where the chain rule resolves ties analytically
     with no cap. Shared gate for the carried-keys paths (direct, and
     the sharded one-pass MSD whose cap scales with the shard count).
-    Uniformity assumption: skewed real texts that slip past it raise
-    NotImplementedError downstream and the caller falls back."""
+    ``words`` carried key words resolve words*spw symbols (the third
+    word shrinks the prediction by sigma^spw — the small-alphabet fix,
+    see _direct_sort3). Uniformity assumption: skewed real texts that
+    slip past it raise NotImplementedError downstream and the caller
+    falls back."""
     remap, bits, spw = alphabet_remap(arr)
     sigma = max(int(remap.max()), 2)
-    log_pred = 2 * math.log(n) - 2 * spw * math.log(sigma)
+    log_pred = 2 * math.log(n) - words * spw * math.log(sigma)
     if log_pred < math.log(max(cap, 2.0)):
         return True
     if est_repeat is None:
         est_repeat = estimate_repeat_len(arr)
-    return est_repeat > 2 * spw          # periodic: chain rule, no cap
+    return est_repeat > words * spw      # periodic: chain rule, no cap
 
 
 def direct_feasible(arr: np.ndarray, n: int,
@@ -1078,36 +1309,50 @@ def direct_feasible(arr: np.ndarray, n: int,
     # 113.8 — experiments/routing_direct.py 2026-08-18).
     if bucket_size(n) > int(os.environ.get("SA_DIRECT_MAX", 1 << 28)):
         return False
-    return residue_feasible(arr, n, RESIDUE_SLOTS / 4, est_repeat)
+    return (residue_feasible(arr, n, RESIDUE_SLOTS / 4, est_repeat)
+            or residue_feasible(arr, n, RESIDUE_SLOTS / 4, est_repeat,
+                                words=3))
 
 
-def prepare_direct(text, *, text_dev=None):
+def prepare_direct(text, *, text_dev=None, n_words: int | None = None):
     """Stage the text for the direct one-sort build (untimed setup).
 
     ``text_dev``: optional device copy padded to ``bucket_size(n)``
-    (e.g. a twin corpus); the 2*spw-symbol key-window extension is
-    appended on device."""
+    (e.g. a twin corpus); the nw*spw-symbol key-window extension is
+    appended on device.
+
+    ``n_words``: carried key words (default: auto — 2, or 3 when 2
+    words' expected residue overflows the extraction cap but 3 words'
+    fits; the small-alphabet case, e.g. DNA past ~2^26)."""
     arr = as_byte_array(text)
     n = int(arr.shape[0])
     if n < 8:
         raise ValueError("direct sort needs n >= 8; use build_suffix_array")
     remap, bits, spw = alphabet_remap(arr)
+    est_repeat = estimate_repeat_len(arr)
+    nw = n_words
+    if nw is None:
+        nw = 2
+        if not residue_feasible(arr, n, RESIDUE_SLOTS / 4, est_repeat):
+            if residue_feasible(arr, n, RESIDUE_SLOTS / 4, est_repeat,
+                                words=3):
+                nw = 3
     n_pad = bucket_size(n)
     if text_dev is not None and tuple(text_dev.shape) == (n_pad,):
         text_ext = jnp.concatenate(
-            [text_dev, jnp.zeros(2 * spw, jnp.uint8)])
+            [text_dev, jnp.zeros(nw * spw, jnp.uint8)])
     else:
-        host = np.zeros(n_pad + 2 * spw, np.uint8)
+        host = np.zeros(n_pad + nw * spw, np.uint8)
         host[:n] = arr
         from hpc_suffix_array_tpu.utils.staging import stage_to_device
 
         text_ext = stage_to_device(host)
     return {
-        "n": n, "n_pad": n_pad, "bits": bits, "spw": spw,
+        "n": n, "n_pad": n_pad, "bits": bits, "spw": spw, "nw": nw,
         "text_ext": text_ext, "ranges": byte_ranges(remap),
         "vals_d": jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8)),
         "host_text": arr,
-        "meta": {"est_repeat": estimate_repeat_len(arr)},
+        "meta": {"est_repeat": est_repeat},
     }
 
 
@@ -1127,17 +1372,26 @@ def execute_direct(state, *, force_chain_mode: bool | None = None,
     ranges = state.get("ranges")
     meta = state["meta"]
 
+    nw = state.get("nw", 2)
     chain_mode = force_chain_mode
     if chain_mode is None:
-        chain_mode = meta.get("est_repeat", 0) > 2 * spw
+        chain_mode = meta.get("est_repeat", 0) > nw * spw
 
-    k0, k1, iota = _direct_keys(n_pad, spw, bits, text_ext, vals_d,
-                                jnp.int32(n), ranges)
-    s_idx, tie32, ties_d, d_d, dok_d, lcp32, _pk0, _pk1 = _bucket_sort(
-        n_pad, chain_mode, want_lcp, spw, bits, k0, k1, iota,
-        jnp.int32(0), jnp.int32(n), jnp.int32(n),
-        jnp.int32(-1), jnp.int32(-1))
-    del k0, k1, iota
+    if nw == 3:
+        k0, k1, k2, iota = _direct_keys(n_pad, spw, bits, text_ext,
+                                        vals_d, jnp.int32(n), ranges, 3)
+        s_idx, tie32, ties_d, d_d, dok_d, lcp32 = _direct_sort3(
+            chain_mode, want_lcp, spw, bits, k0, k1, k2, iota,
+            jnp.int32(n))
+        del k0, k1, k2, iota
+    else:
+        k0, k1, iota = _direct_keys(n_pad, spw, bits, text_ext, vals_d,
+                                    jnp.int32(n), ranges)
+        s_idx, tie32, ties_d, d_d, dok_d, lcp32, _pk0, _pk1 = _bucket_sort(
+            n_pad, chain_mode, want_lcp, spw, bits, k0, k1, iota,
+            jnp.int32(0), jnp.int32(n), jnp.int32(n),
+            jnp.int32(-1), jnp.int32(-1))
+        del k0, k1, iota
     ties = int(jax.device_get(ties_d))
 
     if chain_mode:
@@ -1146,6 +1400,8 @@ def execute_direct(state, *, force_chain_mode: bool | None = None,
             if not dok:
                 if force_chain_mode is None and ties <= n // 4:
                     del s_idx, tie32, lcp32
+                    meta.setdefault("rerun", []).append(
+                        "chain_to_ascending")
                     return execute_direct(state, force_chain_mode=False,
                                           want_lcp=want_lcp)
                 raise NotImplementedError(
@@ -1160,6 +1416,8 @@ def execute_direct(state, *, force_chain_mode: bool | None = None,
                         # period (one long repeated block): ascending +
                         # host residue handles it.
                         del s_idx, tie32, lcp32
+                        meta.setdefault("rerun", []).append(
+                            "chain_to_ascending")
                         return execute_direct(
                             state, force_chain_mode=False,
                             want_lcp=want_lcp)
@@ -1169,6 +1427,7 @@ def execute_direct(state, *, force_chain_mode: bool | None = None,
                 meta["periods"] = [d]
     elif ties > n // 4:
         del s_idx, tie32, lcp32
+        meta.setdefault("rerun", []).append("ascending_to_chain")
         return execute_direct(state, force_chain_mode=True,
                               want_lcp=want_lcp)
 

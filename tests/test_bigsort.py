@@ -397,3 +397,128 @@ def test_build_sa_lcp_fused(rng, monkeypatch):
         assert np.array_equal(np.asarray(sa), want_sa)
         assert np.array_equal(np.asarray(lcp),
                               np.asarray(lcp_oracle(text, want_sa)))
+
+
+def test_count_free_is_default_and_exact(rng, monkeypatch):
+    """k0-only plans take the count-free scatter (no count pass, exact
+    fills from the in-program boundary search) and match the oracle."""
+    from hpc_suffix_array_tpu.core.bigsort import execute_big, prepare_big
+
+    text = ALNUM[rng.integers(0, 62, 30_000)]
+    state = prepare_big(text, **TINY)
+    sa = np.asarray(execute_big(state))
+    assert state["plan"].counts is None          # count pass skipped
+    assert "rerun" not in state["plan"].meta
+    assert np.array_equal(sa, np.asarray(suffix_array_oracle(text.tobytes())))
+
+
+def test_count_free_matches_exact_path(rng):
+    """count_free=True and count_free=False produce identical SA+LCP."""
+    from hpc_suffix_array_tpu.core.bigsort import execute_big, prepare_big
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    text = ALNUM[rng.integers(0, 62, 25_000)]
+    sa1, lcp1 = execute_big(prepare_big(text, **TINY), want_lcp=True,
+                            count_free=True)
+    sa2, lcp2 = execute_big(prepare_big(text, **TINY), want_lcp=True,
+                            count_free=False)
+    assert np.array_equal(np.asarray(sa1), np.asarray(sa2))
+    assert np.array_equal(np.asarray(lcp1), np.asarray(lcp2))
+    want = np.asarray(suffix_array_oracle(text.tobytes()))
+    assert np.array_equal(np.asarray(sa1), want)
+    assert np.array_equal(np.asarray(lcp1),
+                          np.asarray(lcp_oracle(text, want)))
+
+
+def test_count_free_overflow_reruns_exact(rng, monkeypatch):
+    """A bucket overflowing the estimated capacity re-runs on the exact
+    two-pass path, records meta["rerun"], and stays byte-exact."""
+    from hpc_suffix_array_tpu.core.bigsort import execute_big, prepare_big
+
+    # A negative margin shrinks every capacity below the true fills, so
+    # the overflow guard must fire on any text.
+    monkeypatch.setenv("SA_CF_MARGIN", "-0.5")
+    text = ALNUM[rng.integers(0, 62, 30_000)]
+    state = prepare_big(text, **TINY)
+    sa = np.asarray(execute_big(state))
+    assert "count_free_overflow" in state["plan"].meta.get("rerun", [])
+    assert state["plan"].counts is not None     # exact path ran
+    assert np.array_equal(sa, np.asarray(suffix_array_oracle(text.tobytes())))
+
+
+def test_chunk_boundaries_exact(rng):
+    """The two-level in-program boundary search equals np.searchsorted."""
+    import jax.numpy as jnp
+    from hpc_suffix_array_tpu.core.bigsort import (PAD_KEY,
+                                                   _chunk_boundaries)
+
+    for trial in range(5):
+        m_real = int(rng.integers(10, 5000))
+        L = 5120
+        keys = np.sort(rng.integers(0, 1 << 20, m_real).astype(np.int32))
+        s_k0 = np.full(L, PAD_KEY, np.int32)
+        s_k0[:m_real] = keys
+        edges = np.sort(rng.choice(
+            np.r_[keys, rng.integers(0, 1 << 20, 8).astype(np.int32)],
+            size=15, replace=False))
+        got = np.asarray(_chunk_boundaries(
+            jnp.asarray(s_k0), jnp.asarray(edges), jnp.int32(m_real), 16))
+        want = np.r_[0, np.searchsorted(keys, edges, side="left")]
+        assert np.array_equal(got, want), trial
+
+
+class TestThirdCarriedWord:
+    """nw=3 direct path (small alphabets): 3*spw resolved symbols."""
+
+    DNA = np.frombuffer(b"ACGT", np.uint8)
+
+    def test_forced_nw3_random_dna(self, rng):
+        from hpc_suffix_array_tpu.core.bigsort import (execute_direct,
+                                                       prepare_direct)
+        from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+        text = self.DNA[rng.integers(0, 4, 50_000)]
+        state = prepare_direct(text, n_words=3)
+        assert state["nw"] == 3
+        sa, lcp = execute_direct(state, want_lcp=True)
+        want = np.asarray(suffix_array_oracle(text.tobytes()))
+        assert np.array_equal(np.asarray(sa), want)
+        assert np.array_equal(np.asarray(lcp),
+                              np.asarray(lcp_oracle(text, want)))
+
+    def test_forced_nw3_periodic_chain(self, rng):
+        from hpc_suffix_array_tpu.core.bigsort import (execute_direct,
+                                                       prepare_direct)
+        from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+        base = self.DNA[rng.integers(0, 4, 1000)]
+        text = np.tile(base, 40)
+        state = prepare_direct(text, n_words=3)
+        sa, lcp = execute_direct(state, want_lcp=True)
+        assert state["meta"]["chain_mode"]          # periodic -> chain
+        want = np.asarray(suffix_array_oracle(text.tobytes()))
+        assert np.array_equal(np.asarray(sa), want)
+        assert np.array_equal(np.asarray(lcp),
+                              np.asarray(lcp_oracle(text, want)))
+
+    def test_nw3_auto_when_2word_residue_overflows(self, rng, monkeypatch):
+        """Shrinking the extraction cap makes 2 words infeasible on a
+        binary alphabet; prepare_direct must auto-pick the third word
+        and stay exact."""
+        import hpc_suffix_array_tpu.core.bigsort as bs
+
+        text = np.frombuffer(b"ab", np.uint8)[rng.integers(0, 2, 50_000)]
+        # 2-word prediction (bits=2, spw=15): n^2 * 2^-30 ~ 2.3 > cap/4
+        # once cap < ~9; 3 words: n^2 * 2^-45 ~ 0.
+        monkeypatch.setattr(bs, "RESIDUE_SLOTS", 8)
+        state = bs.prepare_direct(text)
+        assert state["nw"] == 3
+        monkeypatch.setattr(bs, "RESIDUE_SLOTS", 1 << 15)  # run w/ real cap
+        sa = bs.execute_direct(state)
+        assert np.array_equal(
+            np.asarray(sa), np.asarray(suffix_array_oracle(text.tobytes())))
+
+    def test_nw2_default_for_alnum(self, rng):
+        from hpc_suffix_array_tpu.core.bigsort import prepare_direct
+
+        assert prepare_direct(ALNUM[rng.integers(0, 62, 50_000)])["nw"] == 2
