@@ -333,59 +333,87 @@ def main() -> None:
                 alphabet_remap, bucket_size, suffix_array_from_bytes_kernel)
 
             from hpc_suffix_array_tpu.core.bigsort import (
-                estimate_repeat_len, execute_direct, prepare_direct)
+                chunk_geometry, direct_feasible, estimate_repeat_len,
+                execute_big, execute_direct, prepare_big, prepare_direct)
+            from hpc_suffix_array_tpu.utils.twin import (twin_corpus,
+                                                         twin_periodic)
 
-            rng = np.random.default_rng(0xD0)
-            nsec = min(n, 1 << 24)
-            for tag, arr in (
-                ("dna", np.frombuffer(b"ACGT", np.uint8)[
-                    rng.integers(0, 4, nsec)]),
-                ("repetitive_p1000", np.tile(
-                    _bench_text(1000), nsec // 1000 + 1)[:nsec]),
+            def timed_best2(run):
+                """Warmup + best-of-2 (one host stall must not poison
+                the record); fence via device_get of the last element."""
+                sa = run()
+                jax.device_get(sa[-1])
+                del sa
+                dt = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    sa = run()
+                    jax.device_get(sa[-1])
+                    dt = min(dt, time.perf_counter() - t0)
+                    del sa
+                return dt
+
+            direct_max = int(os.environ.get("SA_DIRECT_MAX", 1 << 28))
+            # Ladder sizes (BASELINE.md): DNA at the "256 MB DNA" config
+            # (the third carried word makes it direct-feasible there);
+            # periodic p1000 at the full headline size (chain mode
+            # through the MSD machinery at 2^30 — r2 only measured 2^24).
+            n_dna = min(n, 1 << 28)
+            for tag, nsec, gen in (
+                ("dna", n_dna,
+                 lambda L: twin_corpus(n_dna, L, seed=0xD0,
+                                       alphabet="dna")),
+                ("repetitive_p1000", n,
+                 lambda L: twin_periodic(_bench_text(1000), n, L)),
             ):
                 extra = {}
-                if estimate_repeat_len(arr) > 48 or nsec > (1 << 22):
-                    # Same routing as build_suffix_array: everything
-                    # past the threshold takes the direct one-sort path
-                    # (periodic-chain mode for long repeats).
-                    state = prepare_direct(arr)
-                    sa = execute_direct(dict(state))         # warmup
-                    jax.device_get(sa[-1])
-                    del sa
-                    dt = float("inf")     # best-of-2: one host stall
-                    for _ in range(2):    # must not poison the record
-                        t0 = time.perf_counter()
-                        sa = execute_direct(dict(state))
-                        jax.device_get(sa[-1])
-                        dt = min(dt, time.perf_counter() - t0)
-                        del sa
-                    extra["path"] = ("direct_chain"
-                                     if state["meta"].get("chain_mode")
-                                     else "direct_sort")
-                    if state["meta"].get("rerun"):
-                        extra["rerun"] = state["meta"]["rerun"]
-                else:
+                if nsec <= (1 << 22):
+                    # Small corpus (shrunken bench envs): doubling kernel.
+                    arr, _ = gen(nsec)
                     n_pad = bucket_size(nsec)
                     host = np.zeros(n_pad, np.uint8)
                     host[:nsec] = arr
                     remap2, bits2, h02 = alphabet_remap(arr)
-                    a = (jnp.asarray(host), jnp.asarray(remap2), bits2, h02,
-                         jnp.int32(nsec))
-                    sa, _r, _rounds = suffix_array_from_bytes_kernel(*a)
-                    jax.device_get(sa[-1])
-                    del sa
-                    dt = float("inf")
-                    for _ in range(2):
-                        t0 = time.perf_counter()
-                        sa, _r, rounds = suffix_array_from_bytes_kernel(*a)
-                        jax.device_get(sa[-1])
-                        dt = min(dt, time.perf_counter() - t0)
-                        del sa     # free before the next rep (peak memory)
+                    a = (jnp.asarray(host), jnp.asarray(remap2), bits2,
+                         h02, jnp.int32(nsec))
+                    dt = timed_best2(
+                        lambda: suffix_array_from_bytes_kernel(*a)[0])
+                    _sa, _r, rounds = suffix_array_from_bytes_kernel(*a)
                     extra["rounds"] = int(jax.device_get(rounds))
+                    del _sa
+                else:
+                    # Production routing: direct one-sort while it fits,
+                    # else the MSD (chain mode auto for periodic text).
+                    arr, dev = gen(bucket_size(nsec)
+                                   if bucket_size(nsec) <= direct_max
+                                   else chunk_geometry(nsec)[2])
+                    if (bucket_size(nsec) <= direct_max
+                            and direct_feasible(arr, nsec)):
+                        state = prepare_direct(arr, text_dev=dev)
+                        dt = timed_best2(
+                            lambda: execute_direct(dict(state)))
+                        meta = state["meta"]
+                        extra["path"] = ("direct_chain"
+                                         if meta.get("chain_mode")
+                                         else "direct_sort")
+                        if state.get("nw", 2) != 2:
+                            extra["carried_words"] = state["nw"]
+                    else:
+                        state = prepare_big(arr, text_dev=dev)
+                        dt = timed_best2(
+                            lambda: execute_big(dict(state)))
+                        meta = state["plan"].meta
+                        extra["path"] = ("msd_chain"
+                                         if meta.get("chain_mode")
+                                         else "msd_bigsort")
+                    if meta.get("rerun"):
+                        extra["rerun"] = meta["rerun"]
+                    del dev, state
                 print(json.dumps({
                     "metric": f"sa_build_{tag}",
                     "value": round(nsec / dt / 1e6, 3),
                     "unit": "MB/s/chip",
+                    "n": nsec,
                     **extra,
                 }), file=sys.stderr)
 

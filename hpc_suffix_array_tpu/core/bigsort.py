@@ -139,8 +139,8 @@ def _host_pack_words(arr, remap, pos, spw: int, bits: int, word: int):
 
 def sample_edges(arr: np.ndarray, remap, spw: int, bits: int,
                  target_bucket: int, sample: int = 1 << 21,
-                 seed: int = 0x5A, k0_only: bool | None = None
-                 ) -> tuple[np.ndarray, np.ndarray]:
+                 seed: int = 0x5A, k0_only: bool | None = None,
+                 with_fracs: bool = False):
     """Quantile bucket edges over sampled keys (host).
 
     Prefers k0-only edges (e1 = all zeros, making the bucket id a
@@ -149,6 +149,12 @@ def sample_edges(arr: np.ndarray, remap, spw: int, bits: int,
     the replan packs half the words. Falls back to (k0, k1) pair edges
     when the sampled k0 quantiles predict an oversized bucket (heavy
     first-word duplication). ``k0_only`` forces the mode (tests).
+
+    ``with_fracs``: also return the SAMPLED per-bucket fill fractions
+    (float64[n_buckets], summing to 1) — the count-free scatter sizes
+    its per-bucket capacities from these, which tracks discrete-value
+    mass granularity (e.g. periodic texts with ~1000 distinct k0s) that
+    a uniform n/NB assumption misses (sampling noise ~sqrt(NB/sample)).
     """
     n = len(arr)
     n_buckets = max(2, math.ceil(n / target_bucket))
@@ -167,7 +173,10 @@ def sample_edges(arr: np.ndarray, remap, spw: int, bits: int,
         worst = sizes.max() / max(len(c0s), 1) * n
         if len(e0) and worst <= min(0.7 * MAX_PASS_ELEMS,
                                     4 * target_bucket):
-            return (e0.astype(np.int32), np.zeros(len(e0), np.int32))
+            out = (e0.astype(np.int32), np.zeros(len(e0), np.int32))
+            if with_fracs:
+                return out + (sizes / max(len(c0s), 1),)
+            return out
         if k0_only:
             raise ValueError("k0-only edges requested but the sampled "
                              "k0 distribution is too skewed")
@@ -176,8 +185,13 @@ def sample_edges(arr: np.ndarray, remap, spw: int, bits: int,
     code.sort()
     q = (np.arange(1, n_buckets) * len(code)) // n_buckets
     edges = np.unique(code[q])
-    return ((edges >> 31).astype(np.int32),
-            (edges & ((1 << 31) - 1)).astype(np.int32))
+    out = ((edges >> 31).astype(np.int32),
+           (edges & ((1 << 31) - 1)).astype(np.int32))
+    if with_fracs:
+        cuts = np.searchsorted(code, edges, side="left")
+        return out + (np.diff(np.r_[0, cuts, len(code)]) / max(len(code),
+                                                               1),)
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
@@ -211,7 +225,11 @@ def _sample_k0_device(n_edges: int, m_s: int, stride: int, spw: int,
                        1, m_s)
     q = (jnp.arange(1, n_edges + 1, dtype=jnp.int32)
          * n_valid) // jnp.int32(n_edges + 1)
-    return jnp.take(k0, q)
+    edges = jnp.take(k0, q)
+    # Sampled fill cuts (count-free capacity sizing): invalid rows sort
+    # past every real edge, so they never perturb the counts.
+    cuts = jnp.searchsorted(k0, edges, side="left").astype(jnp.int32)
+    return edges, cuts, n_valid
 
 
 def replan_edges(state, text=None) -> None:
@@ -226,14 +244,18 @@ def replan_edges(state, text=None) -> None:
         ne = len(plan.e0)
         stride = max(2 * plan.spw, plan.n // (1 << 21) or 1)
         m_s = min(1 << 21, plan.n // stride or 1)
-        plan.e0 = _sample_k0_device(
+        plan.e0, cuts, n_valid = _sample_k0_device(
             ne, m_s, stride, plan.spw, plan.bits, ranges,
             state["text_pad"], state["vals_d"], jnp.int32(plan.n))
+        cuts_h, nv = jax.device_get((cuts, n_valid))
+        plan.meta["fill_frac"] = (
+            np.diff(np.r_[0, np.asarray(cuts_h), int(nv)])
+            / max(int(nv), 1))
         return
-    plan.e0, plan.e1 = sample_edges(
+    plan.e0, plan.e1, plan.meta["fill_frac"] = sample_edges(
         np.asarray(text if text is not None else state["host_text"]),
         plan.remap, plan.spw, plan.bits,
-        plan.meta.get("target_bucket", 1 << 23))
+        plan.meta.get("target_bucket", 1 << 23), with_fracs=True)
 
 
 def _dev_pack_word(codes_ext, offset: int, spw: int, bits: int, m: int):
@@ -695,8 +717,8 @@ def prepare_big(text, *, target_bucket: int = 1 << 23,
         raise ValueError("bigsort needs n >= 8; use build_suffix_array")
     m, n_chunks, pad_len = chunk_geometry(n, chunk_elems)
     remap, bits, spw = alphabet_remap(arr)
-    e0, e1 = sample_edges(arr, remap, spw, bits, target_bucket,
-                          sample=sample)
+    e0, e1, fill_frac = sample_edges(arr, remap, spw, bits, target_bucket,
+                                     sample=sample, with_fracs=True)
     if text_dev is None:
         from hpc_suffix_array_tpu.utils.staging import stage_to_device
 
@@ -711,7 +733,8 @@ def prepare_big(text, *, target_bucket: int = 1 << 23,
         "plan": BigPlan(n=n, m=m, n_chunks=n_chunks, bits=bits, spw=spw,
                         remap=remap, e0=e0, e1=e1,
                         meta={"est_repeat": estimate_repeat_len(arr),
-                              "target_bucket": target_bucket}),
+                              "target_bucket": target_bucket,
+                              "fill_frac": fill_frac}),
         "text_pad": text_dev,
         # Device remap inputs: static byte ranges when the alphabet is
         # piecewise contiguous, else present values for the compare-sum
@@ -934,14 +957,19 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
         # sum fills[<b] <= b*cap_fill, so G_0 >= bucket_size(cap)-cap
         # keeps every compact write inside the gaps.
         margin = float(os.environ.get("SA_CF_MARGIN", "0.06"))
-        cap_fill = int(n / NB * (1 + margin)) + 256
-        W = int(bucket_size(int(m / NB * (1 + margin)) + 256))
-        g0 = max(W, int(bucket_size(cap_fill)) - cap_fill + 64)
+        frac = plan.meta.get("fill_frac")
+        if frac is None or len(frac) != NB:
+            frac = np.full(NB, 1.0 / NB)
+        caps = (frac * n * (1 + margin)).astype(np.int64) + 256
+        W = int(bucket_size(int(frac.max() * m * (1 + margin)) + 256))
+        slack = max(int(bucket_size(int(c))) - int(c) for c in caps)
+        g0 = max(W, slack + 64)
         base = np.zeros(NB + 1, np.int64)
-        for b in range(1, NB + 1):
-            base[b] = b * (cap_fill + W) + (g0 - W)
+        for b in range(NB):
+            base[b + 1] = base[b] + int(caps[b]) + (g0 if b == 0 else W)
         slab_len = max(int(base[NB]),
-                       int(base[NB - 1]) + int(bucket_size(cap_fill)))
+                       max(int(base[b]) + int(bucket_size(int(caps[b])))
+                           for b in range(NB)))
 
         idxB = jnp.zeros((slab_len,), jnp.int32)
         k0B = jnp.zeros((slab_len,), jnp.int32)
@@ -958,7 +986,7 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
         assert fills.sum() == n, (fills.sum(), n)     # boundary-search inv.
         plan.counts = None
         _stamps.append(("scatter", time.perf_counter()))
-        if max_run > W or (fills > cap_fill).any():
+        if max_run > W or (fills > caps).any():
             del idxB, k0B, k1B, fill_d      # free before re-running
             plan.meta.setdefault("rerun", []).append("count_free_overflow")
             return execute_big(state, max_bucket_elems=max_bucket_elems,

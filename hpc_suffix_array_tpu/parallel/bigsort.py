@@ -49,7 +49,7 @@ from jax.sharding import Mesh, PartitionSpec
 
 from hpc_suffix_array_tpu.core.bigsort import (
     PAD_KEY, RESIDUE_SLOTS, _resolve_residue_host, byte_ranges,
-    codes_from_bytes, estimate_repeat_len)
+    codes_from_bytes, estimate_repeat_len, residue_feasible)
 from hpc_suffix_array_tpu.core.suffix_array import (
     alphabet_remap, as_byte_array, bucket_size)
 from hpc_suffix_array_tpu.parallel.bitonic import block_bitonic_sort
@@ -72,7 +72,36 @@ def _boundary_prev(cols, axis_name: str, n_shards: int):
     return tuple(got[i] for i in range(len(cols)))
 
 
-def _local_build(P: int, bits: int, spw: int, R: int, ranges,
+def _pack_words(ext, m: int, spw: int, bits: int, nw: int):
+    """nw carried key words from m + nw*spw halo-extended codes."""
+    words = []
+    for w in range(nw):
+        kw = jnp.zeros((m,), jnp.int32)
+        for s in range(spw):
+            kw = (kw << bits) | lax.slice(ext, (w * spw + s,),
+                                          (w * spw + s + m,))
+        words.append(kw)
+    return words
+
+
+def _key_lcp(prev_words, sorted_words, spw: int, bits: int, nw: int):
+    """First-mismatch depth (symbols) of adjacent sorted carried keys.
+
+    xor + count-leading-zeros per word (symbols pack first-highest in
+    the low spw*bits bits); fully-equal rows return the nw*spw lower
+    bound (ties — chain rule or host residue finish them)."""
+    depth = jnp.int32(nw * spw)
+    lcp = depth
+    for w in range(nw - 1, -1, -1):
+        x = prev_words[w] ^ sorted_words[w]
+        off = jnp.where(x != 0,
+                        (w + 1) * spw - 1 - (31 - lax.clz(x)) // bits,
+                        depth)
+        lcp = jnp.where(x != 0, off, lcp)
+    return jnp.maximum(lcp, 0)
+
+
+def _local_build(P: int, bits: int, spw: int, R: int, ranges, nw: int,
                  text_u8, vals, n_real, desc):
     """shard_map body: pack carried keys, one global sort, flags + residue.
 
@@ -81,10 +110,12 @@ def _local_build(P: int, bits: int, spw: int, R: int, ranges,
     the first three psum/pmax/pmin-replicated and the residue fields
     local. ``lcp[j] = LCP(sa[j-1], sa[j])`` comes from adjacent xor +
     count-leading-zeros on the sorted carried keys (exact for every pair
-    that mismatches within 2*spw symbols; the chain rule covers periodic
+    that mismatches within nw*spw symbols; the chain rule covers periodic
     ties in-kernel, the host residue patch covers the bounded rest) — a
     handful of elementwise passes on columns the sort already moved, so
-    it is always computed.
+    it is always computed. ``nw`` carried words (2, or 3 for small
+    alphabets whose 2-word residue overflows the caps — the core
+    _direct_sort3 rationale, sharded).
     """
     m = text_u8.shape[0]
     me = lax.axis_index(SEQ_AXIS)
@@ -92,48 +123,39 @@ def _local_build(P: int, bits: int, spw: int, R: int, ranges,
 
     codes = codes_from_bytes(text_u8, vals, ranges)
     codes = jnp.where(g < n_real, codes, 0)
-    halo = lax.ppermute(codes[:2 * spw], SEQ_AXIS,
+    halo = lax.ppermute(codes[:nw * spw], SEQ_AXIS,
                         [(i, i - 1) for i in range(1, P)])
-    ext = jnp.concatenate([codes, halo])             # m + 2*spw codes
-    k0 = jnp.zeros((m,), jnp.int32)
-    k1 = jnp.zeros((m,), jnp.int32)
-    for s in range(spw):
-        k0 = (k0 << bits) | lax.slice(ext, (s,), (s + m,))
-        k1 = (k1 << bits) | lax.slice(ext, (spw + s,), (spw + s + m,))
+    ext = jnp.concatenate([codes, halo])             # m + nw*spw codes
+    words = _pack_words(ext, m, spw, bits, nw)
 
     real = g < n_real
-    k0 = jnp.where(real, k0, PAD_KEY)
-    k1 = jnp.where(real, k1, PAD_KEY)
+    words = [jnp.where(real, w, PAD_KEY) for w in words]
     tb = jnp.where(real, jnp.where(desc, n_real - g, g), _BIG)
 
-    k0s, k1s, tbs = block_bitonic_sort((k0, k1, tb), num_keys=3,
-                                       axis_name=SEQ_AXIS, n_shards=P)
+    out = block_bitonic_sort(tuple(words) + (tb,), num_keys=nw + 1,
+                             axis_name=SEQ_AXIS, n_shards=P)
+    sw, tbs = list(out[:nw]), out[nw]
     gpos = me * m + lax.iota(jnp.int32, m)           # global sorted slot
     real_s = gpos < n_real                           # pads sort last
     s_idx = jnp.where(real_s, jnp.where(desc, n_real - tbs, tbs), n_real)
 
     # Tie with the global predecessor (boundary record via one ppermute).
-    pk0, pk1, pidx_t = _boundary_prev((k0s, k1s, tbs), SEQ_AXIS, P)
-    prev_k0 = jnp.concatenate([pk0[None], k0s[:-1]])
-    prev_k1 = jnp.concatenate([pk1[None], k1s[:-1]])
-    prev_ix = jnp.where(desc, n_real - pidx_t, pidx_t)
+    bprev = _boundary_prev(tuple(sw) + (tbs,), SEQ_AXIS, P)
+    prev_w = [jnp.concatenate([bprev[w][None], sw[w][:-1]])
+              for w in range(nw)]
+    prev_ix = jnp.where(desc, n_real - bprev[nw], bprev[nw])
     prev_idx = jnp.concatenate([prev_ix[None], s_idx[:-1]])
-    tie = (k0s == prev_k0) & (k1s == prev_k1) & real_s & (gpos > 0)
+    tie = real_s & (gpos > 0)
+    for w in range(nw):
+        tie &= sw[w] == prev_w[w]
     delta = jnp.where(tie, jnp.where(desc, prev_idx - s_idx,
                                      s_idx - prev_idx), 0)
     tie_cnt = lax.psum(jnp.sum(tie.astype(jnp.int32)), SEQ_AXIS)
     dmax = lax.pmax(jnp.max(jnp.where(tie, delta, 0)), SEQ_AXIS)
     dmin = lax.pmin(jnp.min(jnp.where(tie, delta, _BIG)), SEQ_AXIS)
 
-    # LCP from the carried keys (mirror of core _bucket_sort want_lcp):
-    # first differing symbol via xor + clz per word; symbols pack
-    # first-highest in the low spw*bits bits.
-    depth = jnp.int32(2 * spw)
-    x0, x1 = prev_k0 ^ k0s, prev_k1 ^ k1s
-    off0 = jnp.where(x0 != 0, spw - 1 - (31 - lax.clz(x0)) // bits, depth)
-    off1 = jnp.where(x1 != 0,
-                     2 * spw - 1 - (31 - lax.clz(x1)) // bits, depth)
-    lcp = jnp.maximum(jnp.where(x0 != 0, off0, off1), 0)
+    # LCP from the carried keys (mirror of core _bucket_sort want_lcp).
+    lcp = _key_lcp(prev_w, sw, spw, bits, nw)
     # Periodic ties: chain members are consecutive, lcp = n - prev_idx.
     lcp = jnp.where(tie & desc, n_real - prev_idx, lcp)
     # Row 0's manufactured zero predecessor and pad rows clamp to 0.
@@ -160,20 +182,24 @@ def _local_build(P: int, bits: int, spw: int, R: int, ranges,
 
 
 def _local_build_wide(P: int, bits: int, spw: int, R: int, ranges,
-                      text_u8, vals, n_hi, n_lo, desc):
+                      nw: int, text_u8, vals, n_hi, n_lo, desc):
     """``_local_build`` with TWO-WORD global indices: the >=4 GiB path.
 
     Global suffix index g = hi * m + lo (hi = shard id, lo = local
     offset, both int32) — n up to P * 2^31 with no int64 sort operands
-    (TPU int64 is emulated 32-bit pairs; a 4-key int32 sort is the same
-    comparator work done natively). Descending order uses the exact
+    (TPU int64 is emulated 32-bit pairs; an (nw+2)-key int32 sort is the
+    same comparator work done natively). Descending order uses the exact
     two-word complement (P*m - 1) - g = (P-1-hi, m-1-lo). Index compares
     (real mask, tie deltas) are lexicographic (hi, lo) pairs; delta
     uniformity is checked componentwise (all pairs equal <=> both
     columns' pmax == pmin, since fills are 0 / +inf and deltas are
-    nonnegative). Returns per shard:
-    (s_hi[m], s_lo[m], slot_lo[R], res_hi[R], res_lo[R], stats[8]);
-    slots are LOCAL sorted offsets (-1 pads) — the host adds shard*m.
+    nonnegative). The LCP rides as the same two-word (hi, lo) base-m
+    pair: in-window values are tiny (<= nw*spw, lo word only), chain-
+    rule values n - prev_g use exact two-word borrow arithmetic — this
+    is the wide build's LCP path (r2 raised NotImplementedError here).
+    Returns per shard: (s_hi[m], s_lo[m], lcp_hi[m], lcp_lo[m],
+    slot_lo[R], res_hi[R], res_lo[R], stats[8]); slots are LOCAL sorted
+    offsets (-1 pads) — the host adds shard*m.
     """
     m = text_u8.shape[0]
     me = lax.axis_index(SEQ_AXIS)
@@ -184,35 +210,34 @@ def _local_build_wide(P: int, bits: int, spw: int, R: int, ranges,
 
     codes = codes_from_bytes(text_u8, vals, ranges)
     codes = jnp.where(lt_n(me, lo), codes, 0)
-    halo = lax.ppermute(codes[:2 * spw], SEQ_AXIS,
+    halo = lax.ppermute(codes[:nw * spw], SEQ_AXIS,
                         [(i, i - 1) for i in range(1, P)])
     ext = jnp.concatenate([codes, halo])
-    k0 = jnp.zeros((m,), jnp.int32)
-    k1 = jnp.zeros((m,), jnp.int32)
-    for s in range(spw):
-        k0 = (k0 << bits) | lax.slice(ext, (s,), (s + m,))
-        k1 = (k1 << bits) | lax.slice(ext, (spw + s,), (spw + s + m,))
+    words = _pack_words(ext, m, spw, bits, nw)
 
     real = lt_n(me, lo)
-    k0 = jnp.where(real, k0, PAD_KEY)
-    k1 = jnp.where(real, k1, PAD_KEY)
+    words = [jnp.where(real, w, PAD_KEY) for w in words]
     tbh = jnp.where(real, jnp.where(desc, P - 1 - me, me), _BIG)
     tbl = jnp.where(real, jnp.where(desc, m - 1 - lo, lo), _BIG)
 
-    k0s, k1s, tbhs, tbls = block_bitonic_sort(
-        (k0, k1, tbh, tbl), num_keys=4, axis_name=SEQ_AXIS, n_shards=P)
-    real_s = (k0s != PAD_KEY) | (k1s != PAD_KEY)     # pads sort last
+    out = block_bitonic_sort(tuple(words) + (tbh, tbl), num_keys=nw + 2,
+                             axis_name=SEQ_AXIS, n_shards=P)
+    sw, tbhs, tbls = list(out[:nw]), out[nw], out[nw + 1]
+    real_s = sw[0] != PAD_KEY                        # pads sort last
+    for w in range(1, nw):
+        real_s |= sw[w] != PAD_KEY
     s_hi = jnp.where(real_s, jnp.where(desc, P - 1 - tbhs, tbhs), n_hi)
     s_lo = jnp.where(real_s, jnp.where(desc, m - 1 - tbls, tbls), n_lo)
 
-    pk0, pk1, phi, plo = _boundary_prev((k0s, k1s, s_hi, s_lo),
-                                        SEQ_AXIS, P)
-    prev_k0 = jnp.concatenate([pk0[None], k0s[:-1]])
-    prev_k1 = jnp.concatenate([pk1[None], k1s[:-1]])
-    prev_hi = jnp.concatenate([phi[None], s_hi[:-1]])
-    prev_lo = jnp.concatenate([plo[None], s_lo[:-1]])
+    bprev = _boundary_prev(tuple(sw) + (s_hi, s_lo), SEQ_AXIS, P)
+    prev_w = [jnp.concatenate([bprev[w][None], sw[w][:-1]])
+              for w in range(nw)]
+    prev_hi = jnp.concatenate([bprev[nw][None], s_hi[:-1]])
+    prev_lo = jnp.concatenate([bprev[nw + 1][None], s_lo[:-1]])
     first_global = (me == 0) & (lo == 0)
-    tie = (k0s == prev_k0) & (k1s == prev_k1) & real_s & ~first_global
+    tie = real_s & ~first_global
+    for w in range(nw):
+        tie &= sw[w] == prev_w[w]
     # delta = |g - g_prev| as a two-word (hi, lo) pair with borrow.
     a_hi = jnp.where(desc, prev_hi, s_hi)
     a_lo = jnp.where(desc, prev_lo, s_lo)
@@ -226,6 +251,20 @@ def _local_build_wide(P: int, bits: int, spw: int, R: int, ranges,
     dmin_hi = lax.pmin(jnp.min(jnp.where(tie, d_hi, _BIG)), SEQ_AXIS)
     dmax_lo = lax.pmax(jnp.max(jnp.where(tie, d_lo, 0)), SEQ_AXIS)
     dmin_lo = lax.pmin(jnp.min(jnp.where(tie, d_lo, _BIG)), SEQ_AXIS)
+
+    # LCP as a two-word base-m pair. In-window first mismatches are tiny
+    # (<= nw*spw — lo word only); chain-rule ties get the exact
+    # lcp = n - prev_g with borrow; ascending ties keep the nw*spw lower
+    # bound for the host residue patch (same contract as _local_build).
+    key_lcp = _key_lcp(prev_w, sw, spw, bits, nw)
+    nb = (n_lo < prev_lo).astype(jnp.int32)
+    chain_lo = n_lo - prev_lo + nb * m
+    chain_hi = n_hi - prev_hi - nb
+    use_chain = tie & desc
+    gpos_ok = real_s & ~first_global
+    lcp_hi = jnp.where(gpos_ok & use_chain, chain_hi, 0).astype(jnp.int32)
+    lcp_lo = jnp.where(gpos_ok, jnp.where(use_chain, chain_lo, key_lcp),
+                       0).astype(jnp.int32)
 
     nxt0 = lax.ppermute(tie[:1].astype(jnp.int32), SEQ_AXIS,
                         [(i, i - 1) for i in range(1, P)])[0]
@@ -242,17 +281,17 @@ def _local_build_wide(P: int, bits: int, spw: int, R: int, ranges,
     stats = jnp.stack([tie_cnt, dmax_hi, dmin_hi, dmax_lo, dmin_lo,
                        res_cnt, (res_cnt > R).astype(jnp.int32),
                        jnp.int32(0)])
-    return s_hi, s_lo, slot_lo, res_hi, res_lo, stats
+    return s_hi, s_lo, lcp_hi, lcp_lo, slot_lo, res_hi, res_lo, stats
 
 
 @functools.cache
-def _kernels(mesh: Mesh, bits: int, spw: int, ranges):
+def _kernels(mesh: Mesh, bits: int, spw: int, ranges, nw: int = 2):
     P = int(mesh.devices.size)
     spec = PartitionSpec(SEQ_AXIS)
     rep = PartitionSpec()
     f = jax.shard_map(
         functools.partial(_local_build, P, bits, spw, RESIDUE_SLOTS,
-                          ranges),
+                          ranges, nw),
         mesh=mesh,
         in_specs=(spec, rep, rep, rep),
         out_specs=(spec, spec, spec, spec, spec),
@@ -261,24 +300,43 @@ def _kernels(mesh: Mesh, bits: int, spw: int, ranges):
 
 
 @functools.cache
-def _kernels_wide(mesh: Mesh, bits: int, spw: int, ranges):
+def _kernels_wide(mesh: Mesh, bits: int, spw: int, ranges, nw: int = 2):
     P = int(mesh.devices.size)
     spec = PartitionSpec(SEQ_AXIS)
     rep = PartitionSpec()
     f = jax.shard_map(
         functools.partial(_local_build_wide, P, bits, spw, RESIDUE_SLOTS,
-                          ranges),
+                          ranges, nw),
         mesh=mesh,
         in_specs=(spec, rep, rep, rep, rep),
-        out_specs=(spec, spec, spec, spec, spec, spec),
+        out_specs=(spec,) * 8,
         check_vma=False)
     return jax.jit(f)
+
+
+@functools.cache
+def _patch_kernel(mesh: Mesh):
+    """Per-shard scatter of host-resolved residue values into a sharded
+    column (wide device-resident mode): each shard receives its own
+    RESIDUE_SLOTS (local offset, value) rows, -1 slots are pads."""
+    spec = PartitionSpec(SEQ_AXIS)
+
+    def body(col, slots, vals):
+        ok = slots >= 0
+        safe = jnp.where(ok, slots, 0)
+        cur = col[safe]
+        return col.at[safe].set(jnp.where(ok, vals, cur))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False))
 
 
 def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
                                    force_chain_mode: bool | None = None,
                                    wide_index: bool | None = None,
-                                   want_lcp: bool = False):
+                                   want_lcp: bool = False,
+                                   device_columns: bool = False):
     """Suffix array of ``text`` via ONE distributed carried-keys sort.
 
     Returns the sharded int32[n] suffix array. Raises NotImplementedError
@@ -286,22 +344,26 @@ def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
     a clean periodic chain — callers fall back to
     ``build_suffix_array_sharded`` (the doubling path handles any skew).
 
-    ``want_lcp``: also return the sharded int32[n] LCP array as
-    ``(sa, lcp)`` — derived in-kernel from the sorted carried keys
-    (adjacent xor+clz + the chain rule; host residue for the bounded
-    rest). This is the multi-host ladder config's LCP path: the
-    distributed PLCP (parallel/lcp.py) pays scan-class per-chip compiles
-    the TPU tunnel prices at minutes-to-hours, while this adds a few
-    elementwise column passes to a sort the build already runs. Not
-    supported with ``wide_index`` (lcp values past the int32 range need
-    two-word columns — see _local_build_wide's note).
+    ``want_lcp``: also return the LCP array as ``(sa, lcp)`` — derived
+    in-kernel from the sorted carried keys (adjacent xor+clz + the chain
+    rule; host residue for the bounded rest). This is the multi-host
+    ladder config's LCP path: the distributed PLCP (parallel/lcp.py)
+    pays scan-class per-chip compiles the TPU tunnel prices at
+    minutes-to-hours, while this adds a few elementwise column passes to
+    a sort the build already runs. Under ``wide_index`` the LCP is a
+    two-word base-m pair like the SA itself (r2's NotImplementedError
+    here is closed — see _local_build_wide).
 
     ``wide_index``: two-word (hi, lo) global indices for texts past the
     int32 range — the >=4 GiB ladder config (BASELINE.md). Auto-enabled
-    when n (plus padding) nears 2^31; forcible for tests. Wide builds
-    return a HOST int64[n] array (this convenience API materializes the
-    result anyway; a production multi-host pipeline would keep the
-    per-shard (hi, lo) columns on device — see _local_build_wide).
+    when n (plus padding) nears 2^31; forcible for tests. By default
+    wide builds materialize HOST int64[n] arrays (convenience API);
+    ``device_columns=True`` instead returns the device-resident sharded
+    int32[n_pad] base-m column pairs ``(sa_hi, sa_lo)`` (and
+    ``(lcp_hi, lcp_lo)`` with want_lcp), g = hi * m + lo with
+    m = n_pad // len(mesh): the production multi-host form — nothing
+    n-sized crosses to the host, residue patches apply per shard on
+    device (_patch_kernel).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -313,27 +375,33 @@ def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
                          "builder")
     remap, bits, spw = alphabet_remap(arr)
     ranges = byte_ranges(remap)
+    est_repeat = estimate_repeat_len(arr)
+    # Carried word count: 2, or 3 when the 2-word expected residue
+    # overflows the mesh-wide extraction budget but 3 words' fits (small
+    # alphabets at scale — DNA past ~2^26; core _direct_sort3 rationale,
+    # sharded). Periodic texts stay at 2 (chain rule needs no cap).
+    cap_total = P * RESIDUE_SLOTS / 4
+    nw = 2
+    if not residue_feasible(arr, n, cap_total, est_repeat):
+        if residue_feasible(arr, n, cap_total, est_repeat, words=3):
+            nw = 3
     chain = force_chain_mode
     if chain is None:
-        chain = estimate_repeat_len(arr) > 2 * spw
+        chain = est_repeat > nw * spw
 
     n_pad = bucket_size(n, multiple_of=P * 128)
     if wide_index is None:
         wide_index = n_pad >= (1 << 31) - 1
     if wide_index:
-        if want_lcp:
-            raise NotImplementedError(
-                "want_lcp needs two-word lcp columns past the int32 "
-                "range - build the LCP shard-locally from the (hi, lo) "
-                "columns in a production pipeline")
         return _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw,
-                           ranges, chain, force_chain_mode)
+                           ranges, nw, chain, force_chain_mode, want_lcp,
+                           device_columns)
     text_pad = np.zeros(n_pad, np.uint8)
     text_pad[:n] = arr
     text_d = jax.device_put(text_pad, sequence_sharding(mesh))
     vals_d = jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8))
 
-    kern = _kernels(mesh, bits, spw, ranges)
+    kern = _kernels(mesh, bits, spw, ranges, nw)
     s_idx, lcp_d, slots, res_idx, stats = kern(
         text_d, vals_d, jnp.int32(n), jnp.bool_(chain))
     st = np.asarray(jax.device_get(stats)).reshape(P, 6)
@@ -390,25 +458,58 @@ def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
     return (sa, lcp) if want_lcp else sa
 
 
-def _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw, ranges, chain,
-                force_chain_mode):
-    """Wide-index (two-word) sharded build; returns host int64[n]."""
+def _group_patches(slots_g, vals, P: int, m: int, R: int):
+    """Group global-slot patches by owning shard into (P*R,) padded
+    int32 (local slot, value) arrays for the shard_map patch kernel."""
+    out_s = np.full(P * R, -1, np.int32)
+    out_v = np.zeros(P * R, np.int32)
+    sh = (slots_g // m).astype(np.int64)
+    loc = (slots_g % m).astype(np.int32)
+    for p_ in range(P):
+        idx = np.flatnonzero(sh == p_)
+        assert len(idx) <= R, "per-shard residue cap violated"
+        out_s[p_ * R:p_ * R + len(idx)] = loc[idx]
+        out_v[p_ * R:p_ * R + len(idx)] = vals[idx]
+    return out_s, out_v
+
+
+def _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw, ranges, nw,
+                chain, force_chain_mode, want_lcp, device_columns):
+    """Wide-index (two-word) sharded build.
+
+    ``device_columns=False`` (default): host int64[n] arrays (sa, and
+    lcp when ``want_lcp``) — the convenience API. ``device_columns=True``:
+    the device-resident sharded int32[n_pad] base-m column pairs
+    ``(sa_hi, sa_lo)`` (and ``(lcp_hi, lcp_lo)``), valid in the first n
+    rows, g = hi * m + lo with m = n_pad // P — the production multi-host
+    form: nothing n-sized ever crosses to the host, and the residue
+    patch is applied per shard on device (_patch_kernel).
+    """
     m = n_pad // P
     text_pad = np.zeros(n_pad, np.uint8)
     text_pad[:n] = arr
     text_d = jax.device_put(text_pad, sequence_sharding(mesh))
     vals_d = jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8))
 
-    kern = _kernels_wide(mesh, bits, spw, ranges)
-    s_hi, s_lo, slot_lo, res_hi, res_lo, stats = kern(
+    kern = _kernels_wide(mesh, bits, spw, ranges, nw)
+    s_hi, s_lo, lcp_hi, lcp_lo, slot_lo, res_hi, res_lo, stats = kern(
         text_d, vals_d, jnp.int32(n // m), jnp.int32(n % m),
         jnp.bool_(chain))
     st = np.asarray(jax.device_get(stats)).reshape(P, 8)
     tie_cnt = int(st[0, 0])
     dmax_hi, dmin_hi, dmax_lo, dmin_lo = (int(x) for x in st[0, 1:5])
 
-    sa = (np.asarray(jax.device_get(s_hi)).astype(np.int64) * m
-          + np.asarray(jax.device_get(s_lo)))[:n]
+    def materialize():
+        if device_columns:
+            sa_cols = (s_hi, s_lo)
+            return ((sa_cols, (lcp_hi, lcp_lo)) if want_lcp else sa_cols)
+        sa = (np.asarray(jax.device_get(s_hi)).astype(np.int64) * m
+              + np.asarray(jax.device_get(s_lo)))[:n]
+        if not want_lcp:
+            return sa
+        lcp = (np.asarray(jax.device_get(lcp_hi)).astype(np.int64) * m
+               + np.asarray(jax.device_get(lcp_lo)))[:n]
+        return sa, lcp
 
     if chain:
         if tie_cnt:
@@ -418,7 +519,8 @@ def _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw, ranges, chain,
                 if force_chain_mode is None and tie_cnt <= n // 4:
                     return build_suffix_array_sharded_big(
                         arr, mesh, force_chain_mode=False,
-                        wide_index=True)
+                        wide_index=True, want_lcp=want_lcp,
+                        device_columns=device_columns)
                 raise NotImplementedError(
                     "sharded bigsort[wide]: residual ties are not "
                     "uniform arithmetic chains - use the doubling "
@@ -427,12 +529,12 @@ def _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw, ranges, chain,
                 raise NotImplementedError(
                     f"sharded bigsort[wide]: chain delta {d} is not a "
                     "global period - use the doubling builder")
-        return sa
+        return materialize()
 
     if tie_cnt > n // 4 and force_chain_mode is None:
-        return build_suffix_array_sharded_big(arr, mesh,
-                                              force_chain_mode=True,
-                                              wide_index=True)
+        return build_suffix_array_sharded_big(
+            arr, mesh, force_chain_mode=True, wide_index=True,
+            want_lcp=want_lcp, device_columns=device_columns)
     if np.any(st[:, 6]):
         raise NotImplementedError(
             "sharded bigsort[wide]: window-tied elements exceed the "
@@ -447,8 +549,34 @@ def _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw, ranges, chain,
         idx_g = (np.asarray(jax.device_get(res_hi)).astype(np.int64) * m
                  + np.asarray(jax.device_get(res_lo)))[keep]
         if keep.any():
-            s_sorted, fixed, _ls, _lv = _resolve_residue_host(
-                arr, slots_g, idx_g, n)
+            s_sorted, fixed, ls, lv = _resolve_residue_host(
+                arr, slots_g, idx_g, n, want_lcp=want_lcp)
             ok = s_sorted < n
-            sa[s_sorted[ok]] = fixed[ok]
-    return sa
+            if device_columns:
+                patch = _patch_kernel(mesh)
+                R = RESIDUE_SLOTS
+                ps, pv = _group_patches(s_sorted[ok], fixed[ok] // m,
+                                        P, m, R)
+                s_hi = patch(s_hi, jnp.asarray(ps), jnp.asarray(pv))
+                ps, pv = _group_patches(s_sorted[ok], fixed[ok] % m,
+                                        P, m, R)
+                s_lo = patch(s_lo, jnp.asarray(ps), jnp.asarray(pv))
+                if want_lcp and len(ls):
+                    ok_l = ls < n
+                    ps, pv = _group_patches(ls[ok_l], lv[ok_l] // m,
+                                            P, m, R)
+                    lcp_hi = patch(lcp_hi, jnp.asarray(ps),
+                                   jnp.asarray(pv))
+                    ps, pv = _group_patches(ls[ok_l], lv[ok_l] % m,
+                                            P, m, R)
+                    lcp_lo = patch(lcp_lo, jnp.asarray(ps),
+                                   jnp.asarray(pv))
+            else:
+                out = materialize()
+                sa, lcp = out if want_lcp else (out, None)
+                sa[s_sorted[ok]] = fixed[ok]
+                if want_lcp and len(ls):
+                    ok_l = ls < n
+                    lcp[ls[ok_l]] = lv[ok_l]
+                return (sa, lcp) if want_lcp else sa
+    return materialize()

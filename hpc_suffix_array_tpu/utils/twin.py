@@ -17,8 +17,11 @@ per element and gather programs are the slowest remote-compile class —
 TODO.md "tunnel remote-compile economics"), in fixed-size chunks so both
 backends compile exactly one small program each.
 
-Corpus family: uniform random over the reference generator's 62-letter
-alnum alphabet (reference scripts/generate_large_datasets.py:12-14).
+Corpus families: uniform random over the reference generator's
+62-letter alnum alphabet (reference
+scripts/generate_large_datasets.py:12-14) and its 4-letter DNA alphabet
+(:25-28); ``twin_periodic`` covers the repetitive family (:16-23) by
+tiling a pattern on both sides (no PRNG needed).
 """
 
 from __future__ import annotations
@@ -33,18 +36,26 @@ from jax import lax
 GEN_CHUNK = 1 << 24             # elements per generator dispatch
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _gen_chunk(key, i, start, n, m: int):
-    """uint8[m] alnum chunk covering positions [start, start+m).
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _gen_chunk(key, i, start, n, m: int, alphabet: str = "alnum"):
+    """uint8[m] chunk covering positions [start, start+m).
 
     Positions >= n are 0 (the padded-text convention every consumer
-    expects). idx -> byte is pure arithmetic: 0..25 -> 'a'..'z',
-    26..51 -> 'A'..'Z', 52..61 -> '0'..'9'.
+    expects). idx -> byte is pure arithmetic (selects, no table gather):
+    alnum: 0..25 -> 'a'..'z', 26..51 -> 'A'..'Z', 52..61 -> '0'..'9';
+    dna: 0..3 -> 'ACGT' (reference generate_large_datasets.py:25-28).
     """
-    idx = jax.random.randint(
-        jax.random.fold_in(key, i), (m,), 0, 62, dtype=jnp.int32)
-    val = jnp.where(idx < 26, 97 + idx,
-                    jnp.where(idx < 52, 39 + idx, idx - 4)).astype(jnp.uint8)
+    if alphabet == "dna":
+        idx = jax.random.randint(
+            jax.random.fold_in(key, i), (m,), 0, 4, dtype=jnp.int32)
+        val = jnp.where(idx == 0, 65, jnp.where(idx == 1, 67, jnp.where(
+            idx == 2, 71, 84))).astype(jnp.uint8)
+    else:
+        idx = jax.random.randint(
+            jax.random.fold_in(key, i), (m,), 0, 62, dtype=jnp.int32)
+        val = jnp.where(idx < 26, 97 + idx,
+                        jnp.where(idx < 52, 39 + idx,
+                                  idx - 4)).astype(jnp.uint8)
     pos = start + lax.iota(jnp.int32, m)
     return jnp.where(pos < n, val, jnp.uint8(0))
 
@@ -61,8 +72,8 @@ def _checksum(buf):
 
 
 def twin_corpus(n: int, n_pad: int | None = None, *, seed: int = 0xBEEF,
-                chunk: int = GEN_CHUNK, device=None
-                ) -> tuple[np.ndarray, jax.Array]:
+                chunk: int = GEN_CHUNK, device=None,
+                alphabet: str = "alnum") -> tuple[np.ndarray, jax.Array]:
     """(host uint8[n], device uint8[n_pad]) with identical first-n bytes.
 
     ``device`` picks where the device copy lives (default: the process
@@ -86,7 +97,8 @@ def twin_corpus(n: int, n_pad: int | None = None, *, seed: int = 0xBEEF,
     host = np.empty(n, np.uint8)
     for c in range(-(-n // chunk)):
         start = c * chunk
-        piece = _gen_chunk(k_host, c, jnp.int32(start), jnp.int32(n), chunk)
+        piece = _gen_chunk(k_host, c, jnp.int32(start), jnp.int32(n),
+                           chunk, alphabet)
         take = min(chunk, n - start)
         host[start:start + take] = np.asarray(piece)[:take]
 
@@ -104,7 +116,7 @@ def twin_corpus(n: int, n_pad: int | None = None, *, seed: int = 0xBEEF,
     buf = jax.device_put(jnp.zeros(n_pieces * chunk, jnp.uint8), device)
     for c in range(n_pieces):
         piece = _gen_chunk(k_dev, c, jnp.int32(c * chunk), jnp.int32(n),
-                           chunk)
+                           chunk, alphabet)
         buf = _write(buf, piece, jnp.int32(c * chunk))
     if buf.shape[0] != n_pad:
         buf = buf[:n_pad]
@@ -116,3 +128,32 @@ def twin_corpus(n: int, n_pad: int | None = None, *, seed: int = 0xBEEF,
             f"twin corpus checksum mismatch (device {dev_sum} != host "
             f"{host_sum}); backends disagree on integer PRNG output")
     return host, buf
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _tile_pattern(pat, n_pad: int, n):
+    """uint8[n_pad]: pat tiled to cover n positions, 0 past n."""
+    reps = -(-n_pad // pat.shape[0]) + 1
+    buf = jnp.tile(pat, reps)[:n_pad]
+    pos = lax.iota(jnp.int32, n_pad)
+    return jnp.where(pos < n, buf, jnp.uint8(0))
+
+
+def twin_periodic(pattern: np.ndarray, n: int, n_pad: int | None = None,
+                  *, device=None) -> tuple[np.ndarray, jax.Array]:
+    """(host uint8[n], device uint8[n_pad]): ``pattern`` tiled to n.
+
+    The repetitive corpus family (reference
+    generate_large_datasets.py:16-23) at benchmark sizes without bulk
+    staging: the device copy is one tile program over the (tiny) staged
+    pattern; the host copy is np.tile. Identical by construction."""
+    if n_pad is None:
+        n_pad = n
+    if n_pad < n:
+        raise ValueError("n_pad must be >= n")
+    pattern = np.asarray(pattern, np.uint8)
+    host = np.tile(pattern, -(-n // len(pattern)))[:n]
+    if device is None:
+        device = jax.devices()[0]
+    pat_d = jax.device_put(pattern, device)
+    return host, _tile_pattern(pat_d, n_pad, jnp.int32(n))

@@ -168,8 +168,78 @@ def test_want_lcp_residue(mesh8, rng):
     _check_lcp(text, mesh8)
 
 
-def test_want_lcp_wide_refuses(mesh8, rng):
-    with pytest.raises(NotImplementedError):
-        build_suffix_array_sharded_big(
-            ALNUM[rng.integers(0, 62, 8 * 2048)], mesh8,
-            wide_index=True, want_lcp=True)
+def test_want_lcp_wide_host(mesh8, rng):
+    """Forced wide-index build WITH LCP (two-word base-m lcp columns,
+    host-materialized) matches the oracles — closes r2's
+    NotImplementedError (VERDICT missing #2)."""
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    text = ALNUM[rng.integers(0, 62, 8 * 2048)]
+    sa, lcp = build_suffix_array_sharded_big(
+        text, mesh8, wide_index=True, want_lcp=True)
+    want = np.asarray(suffix_array_oracle(text.tobytes())).astype(np.int64)
+    assert np.array_equal(sa, want)
+    assert np.array_equal(lcp, np.asarray(lcp_oracle(text, want)))
+
+
+def test_want_lcp_wide_device_columns(mesh8, rng):
+    """device_columns=True keeps the (hi, lo) pairs sharded on device
+    (residue patched per shard in-kernel); recombining equals the host
+    materialization and the oracles."""
+    import jax
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    text = ALNUM[rng.integers(0, 62, 8 * 2048)]
+    (sa_hi, sa_lo), (lcp_hi, lcp_lo) = build_suffix_array_sharded_big(
+        text, mesh8, wide_index=True, want_lcp=True, device_columns=True)
+    n = len(text)
+    n_pad = sa_hi.shape[0]
+    m = n_pad // 8
+    assert len(sa_hi.sharding.device_set) == 8      # stayed sharded
+    sa = (np.asarray(jax.device_get(sa_hi)).astype(np.int64) * m
+          + np.asarray(jax.device_get(sa_lo)))[:n]
+    lcp = (np.asarray(jax.device_get(lcp_hi)).astype(np.int64) * m
+           + np.asarray(jax.device_get(lcp_lo)))[:n]
+    want = np.asarray(suffix_array_oracle(text.tobytes())).astype(np.int64)
+    assert np.array_equal(sa, want)
+    assert np.array_equal(lcp, np.asarray(lcp_oracle(text, want)))
+
+
+def test_wide_periodic_chain_lcp(mesh8, rng):
+    """Wide + periodic: chain-rule lcp = n - prev_g via two-word borrow
+    arithmetic, exact vs the Kasai oracle."""
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    base = ALNUM[rng.integers(0, 62, 97)]
+    text = np.tile(base, (8 * 2048) // 97 + 1)[:8 * 2048]
+    sa, lcp = build_suffix_array_sharded_big(
+        text, mesh8, wide_index=True, want_lcp=True)
+    want = np.asarray(suffix_array_oracle(text.tobytes())).astype(np.int64)
+    assert np.array_equal(sa, want)
+    assert np.array_equal(lcp, np.asarray(lcp_oracle(text, want)))
+
+
+def test_sharded_dna_third_word(mesh8, rng, monkeypatch):
+    """Small-alphabet texts whose 2-word residue overflows the mesh cap
+    ride the carried-keys path with nw=3 instead of falling back to
+    doubling (VERDICT r3 #2). Force the gate (a genuinely overflowing
+    text needs n >= 2^26) and verify the 3-word sharded kernel is exact,
+    narrow and wide, with LCP."""
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+    import hpc_suffix_array_tpu.parallel.bigsort as pb
+
+    real = pb.residue_feasible
+    monkeypatch.setattr(
+        pb, "residue_feasible",
+        lambda arr, n, cap, est=None, words=2: words >= 3)
+    dna = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 8 * 2048)]
+    want = np.asarray(suffix_array_oracle(dna.tobytes()))
+    sa, lcp = build_suffix_array_sharded_big(dna, mesh8, want_lcp=True)
+    assert np.array_equal(np.asarray(sa), want)
+    assert np.array_equal(np.asarray(lcp), np.asarray(lcp_oracle(dna, want)))
+    sa_w, lcp_w = build_suffix_array_sharded_big(
+        dna, mesh8, wide_index=True, want_lcp=True)
+    assert np.array_equal(sa_w, want.astype(np.int64))
+    assert np.array_equal(lcp_w, np.asarray(lcp_oracle(dna, want)))
+    # sanity: with the real gate this corpus would have chosen 2 words
+    assert real(dna, len(dna), 8 * (1 << 15) / 4)

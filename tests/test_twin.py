@@ -72,3 +72,24 @@ def test_prepare_lcp_sorted_with_device_text():
     state = prepare_lcp_sorted(host, text_pad_dev=dev)
     lcp = np.asarray(build_lcp_array_sorted(host, sa, state))
     assert np.array_equal(lcp, np.asarray(lcp_oracle(host, sa)))
+
+
+def test_twin_dna_alphabet():
+    from hpc_suffix_array_tpu.utils.twin import twin_corpus
+
+    host, dev = twin_corpus(10_000, 10_240, alphabet="dna", seed=7)
+    assert set(np.unique(host)) <= set(b"ACGT")
+    d = np.asarray(dev)
+    assert np.array_equal(d[:10_000], host)
+    assert not d[10_000:].any()
+
+
+def test_twin_periodic_tile():
+    from hpc_suffix_array_tpu.utils.twin import twin_periodic
+
+    pat = np.frombuffer(b"abcXYZ012", np.uint8)
+    host, dev = twin_periodic(pat, 10_000, 10_240)
+    assert np.array_equal(host, np.tile(pat, 10_000 // 9 + 1)[:10_000])
+    d = np.asarray(dev)
+    assert np.array_equal(d[:10_000], host)
+    assert not d[10_000:].any()
