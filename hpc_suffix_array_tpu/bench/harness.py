@@ -195,8 +195,18 @@ def weak_scaling_proxy(bytes_per_shard: int = 1 << 20,
     multi-chip hardware is unavailable: on the virtual CPU mesh the curve
     tracks algorithmic overhead (collective hops, seam exchanges), not ICI
     bandwidth — a proxy, and labeled as such in the CSV. Rows append to
-    ``parallel_results.csv`` with weak_efficiency = t(1 shard) / t(P
-    shards) at constant per-shard load.
+    ``parallel_results.csv`` with two efficiency columns:
+
+    * ``weak_efficiency`` = t(1)/t(P) — the hardware definition. On a
+      virtual mesh ALL P devices share the host's physical cores, so
+      even zero-overhead scaling lands near 1/P here; kept for schema
+      parity, do not quote it as scaling evidence.
+    * ``weak_efficiency_normalized`` = P*t(1)/t(P) — per-shard time
+      inflation, the shared-core-honest proxy: 1.0 means P shards cost
+      exactly P times one shard's compute (no algorithmic overhead);
+      the collective/seam/round-growth overhead is what pushes it
+      below 1. This is the number to hold against the 70% bar, with
+      the caveat that P > nproc points also pay core oversubscription.
 
     ``builder`` pins the sharded build path for the whole sweep so the
     curve measures ONE algorithm: "msd" (one-pass carried-keys sort),
@@ -229,14 +239,17 @@ def weak_scaling_proxy(bytes_per_shard: int = 1 << 20,
             if t1 is None:
                 t1 = r.sa_time
             eff = t1 / r.sa_time if r.sa_time > 0 else 0.0
+            eff_n = p * t1 / r.sa_time if r.sa_time > 0 else 0.0
             if verbose:
                 print(f"weak-scaling[{builder}] P={p} n={n / MB:.1f}MB "
-                      f"sa={r.sa_time:.3f}s eff={eff:.2f}")
+                      f"sa={r.sa_time:.3f}s eff={eff:.2f} "
+                      f"eff_norm={eff_n:.2f}")
             row = _row_for_file(f"weak_{input_type}_{p}shard", r,
                                 f"tpu_sharded_{p}", p)
             row["scaling_mode"] = "weak_proxy_cpu_mesh"
             row["builder"] = builder
             row["weak_efficiency"] = eff
+            row["weak_efficiency_normalized"] = eff_n
             rows.append(row)
     finally:
         if thresholds[builder] is not None:
