@@ -5,7 +5,7 @@
 
 PY ?= python
 
-.PHONY: test test-correctness test-parallel bench bench-all data charts clean help
+.PHONY: test test-correctness test-parallel bench bench-all data charts clean help weak-scaling bench-full
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -45,3 +45,13 @@ clean:
 
 help:
 	@echo "targets: test test-correctness test-parallel bench bench-all data charts clean"
+
+# Weak-scaling proxy sweep on the virtual CPU mesh (commits evidence
+# under results/weak_scaling/ — see BASELINE.md for the metric).
+weak-scaling:
+	python -m hpc_suffix_array_tpu.bench.weak_scaling
+
+# Full pipeline at reference scale (datasets -> sweeps -> charts ->
+# reports; reference run_all_benchmarks.py:46-88 + the 500 MB point).
+bench-full:
+	python -m hpc_suffix_array_tpu.bench.orchestrator --random-mb 1 50 100 500

@@ -31,17 +31,22 @@ compile-OOM postmortem):
      suffix that is a prefix of a longer one orders first (the reference
      gets this from strcmp, src/sequential/manber_myers.c:195). Bucket
      edges = quantiles of sampled (k0, k1) pairs.
-  2. *Count (device, ONE dispatch)*: per-chunk bucket histograms by
-     streaming pack + edge compare — no sort, no gather. The host then
-     lays out bucket-major slabs: bucket b's runs (one per chunk) sit
-     back-to-back at ``base[b]``, followed by a gap ``G_b`` that absorbs
-     write spill (below).
+  2. *Layout (host, count-free since r3)*: the slab geometry comes from
+     the edge sampler's per-bucket fill fractions plus a margin — no
+     standalone count pass (it cost 0.69 s of the 8.7 s r2 build). The
+     exact two-pass layout (``_count_chunks``) survives as the fallback
+     for genuinely skewed texts, reached via an overflow-triggered
+     rerun recorded in ``meta["rerun"]``. Bucket b's runs (one per
+     chunk) sit back-to-back at ``base[b]``, followed by a gap ``G_b``
+     that absorbs write spill (below).
   3. *Scatter (device, C chunk passes)*: sort each chunk by bucket id,
-     then write every run to its exact destination with one fixed-width
-     W window per (chunk, bucket). The W-window tail spills PAST the
-     run's true length — exactly onto the region the NEXT chunk's run
-     writes, so sequential chunk order heals every spill; the last
-     chunk's spill lands in the bucket's gap.
+     find its exact run boundaries with a two-level in-program boundary
+     search on the sorted keys, take run destinations from a
+     device-resident running-fill vector, and write every run with one
+     fixed-width W window per (chunk, bucket). The W-window tail spills
+     PAST the run's true length — exactly onto the region the NEXT
+     chunk's run writes, so sequential chunk order heals every spill;
+     the last chunk's spill lands in the bucket's gap.
   4. *Bucket passes*: each bucket is now contiguous — one dynamic slice,
      one 3-key sort, and a write of the sorted order DIRECTLY to the
      bucket's final SA offset ``out_base[b] = sum(fills[<b])``. Compact

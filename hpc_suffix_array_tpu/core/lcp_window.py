@@ -272,8 +272,11 @@ def _mismatch_sorted(WN: int, spw: int, bits: int, text_ext, vals,
     # (isa[i] = position of suffix i in sa); sort 2 keyed by isa lands
     # payload kw[i] at output slot isa[i], i.e. out[r] = kw[sa[r]].
     iota = lax.iota(jnp.int32, n_pad)
-    _, isa = lax.sort((sa_pad, iota), num_keys=1)
-    srt = lax.sort((isa, *kws), num_keys=1)
+    # Unstable: both sort keys are permutations (sa over real slots; isa
+    # always, by construction), so stability buys nothing — lax.sort's
+    # default-stable comparator measured ~25% slower (merge_ab.py r3).
+    _, isa = lax.sort((sa_pad, iota), num_keys=1, is_stable=False)
+    srt = lax.sort((isa, *kws), num_keys=1, is_stable=False)
     kws_sa = srt[1:]
     # Adjacent compare: first differing symbol via xor + clz. Packed
     # words hold spw symbols in their low spw*bits bits, first symbol

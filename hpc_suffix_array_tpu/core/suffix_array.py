@@ -58,7 +58,13 @@ def _doubling_round(rank, k, idx):
     random text that final-round permutation is 30-50% of the build.
     """
     shifts = [shifted_ranks(rank, j * k) for j in range(1, FACTOR)]
-    sorted_cols = lax.sort((rank, *shifts, idx), num_keys=FACTOR)
+    # Unstable: dense re-rank is value-based (equal key tuples get equal
+    # ranks whatever their order) and the returned s_idx only becomes
+    # the SA on the converged round, where all keys are distinct — tie
+    # order inside intermediate rounds is unobservable. Default-stable
+    # measured ~25% slower (experiments/merge_ab.py, r3).
+    sorted_cols = lax.sort((rank, *shifts, idx), num_keys=FACTOR,
+                           is_stable=False)
     s_idx = sorted_cols[-1]
     dense, max_rank = dense_ranks_multi(sorted_cols[:-1])
     n = rank.shape[0]

@@ -169,7 +169,9 @@ def _local_build(P: int, bits: int, spw: int, R: int, ranges, nw: int,
     next_tie = jnp.concatenate([tie[1:].astype(jnp.int32), nxt0[None]])
     member = (tie | (next_tie > 0)) & real_s
     keyed = jnp.where(member, lax.iota(jnp.int32, m), _BIG)
-    o_slot, o_idx = lax.sort((keyed, s_idx), num_keys=1)
+    # Unstable: member keys are distinct iota values; the shared _BIG
+    # tail's payload order is dead (sliced off by the member count).
+    o_slot, o_idx = lax.sort((keyed, s_idx), num_keys=1, is_stable=False)
     k = min(R, m)
     slots = jnp.where(o_slot[:k] < _BIG, gpos[0] + o_slot[:k], -1)
     slots = jnp.concatenate([slots, jnp.full((R - k,), -1, jnp.int32)])
@@ -271,7 +273,8 @@ def _local_build_wide(P: int, bits: int, spw: int, R: int, ranges,
     next_tie = jnp.concatenate([tie[1:].astype(jnp.int32), nxt0[None]])
     member = (tie | (next_tie > 0)) & real_s
     keyed = jnp.where(member, lo, _BIG)
-    o_slot, o_hi, o_lo = lax.sort((keyed, s_hi, s_lo), num_keys=1)
+    o_slot, o_hi, o_lo = lax.sort((keyed, s_hi, s_lo), num_keys=1,
+                                  is_stable=False)
     k = min(R, m)
     slot_lo = jnp.where(o_slot[:k] < _BIG, o_slot[:k], -1)
     slot_lo = jnp.concatenate([slot_lo, jnp.full((R - k,), -1, jnp.int32)])

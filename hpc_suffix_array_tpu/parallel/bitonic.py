@@ -67,7 +67,10 @@ def block_bitonic_sort(arrs, num_keys: int, axis_name: str, n_shards: int):
     Returns the same tuple shape, globally sorted: concatenating the
     shards in device order yields the fully sorted columns.
     """
-    arrs = lax.sort(tuple(arrs), num_keys=num_keys)
+    # Local pre-sort may be unstable: only the block's sorted MULTISET
+    # feeds the compare-splits (whose internal merge stays stable for
+    # cross-partner exactness, see _compare_split).
+    arrs = lax.sort(tuple(arrs), num_keys=num_keys, is_stable=False)
     if n_shards == 1:
         return arrs
     me = lax.axis_index(axis_name)
