@@ -155,6 +155,15 @@ def measure_tpu(n: int, reps: int) -> float:
             del sa
         info = {"path": "msd_bigsort",
                 "buckets": state["plan"].meta.get("n_buckets_run")}
+        if state["plan"].meta.get("phase_host_s"):
+            # Forensics: host-side stamps between the build's sync points
+            # (scatter includes the re-plan; the bucket pass tail is
+            # attributed by the caller's fence).
+            print(json.dumps({
+                "metric": "phase_split_headline",
+                "unit": "s",
+                **state["plan"].meta["phase_host_s"],
+            }), file=sys.stderr)
         if state["plan"].meta.get("rerun"):
             # Honesty key: the build re-executed its passes at least once
             # (chain-direction misprediction or count-free capacity

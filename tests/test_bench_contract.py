@@ -30,3 +30,32 @@ def test_bench_json_line():
     assert rec["n"] == 1 << 16 and "oom_fallback" not in rec
     assert rec["value"] > 0
     assert rec["unit"] == "MB/s/chip"
+
+
+def test_bench_secondary_metrics_stderr():
+    """The secondary corpus classes (DNA / periodic) emit one JSON line
+    each on STDERR (the driver consumes stdout only), with the routing
+    metadata keys the r3 rewrite added."""
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               SA_BENCH_BYTES=str(1 << 16),
+               SA_BENCH_BASELINE_BYTES=str(1 << 16),
+               SA_BENCH_REPS="1",
+               SA_BENCH_SECONDARY="1",
+               SA_BENCH_LCP="0")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")], capture_output=True,
+        text=True, timeout=900, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-500:]
+    # stdout: still exactly one line (driver contract unchanged).
+    assert len([l for l in out.stdout.splitlines()
+                if l.strip().startswith("{")]) == 1
+    recs = {}
+    for line in out.stderr.splitlines():
+        if line.strip().startswith("{"):
+            r = json.loads(line)
+            recs[r["metric"]] = r
+    for metric in ("sa_build_dna", "sa_build_repetitive_p1000"):
+        assert metric in recs, out.stderr[-800:]
+        assert recs[metric]["value"] > 0
+        assert recs[metric]["n"] == 1 << 16
