@@ -130,3 +130,27 @@ class TestSuffixArrayObject:
         assert s.n == 11
         assert s.validate()
         assert s.longest_repeated_substring() == b"issi"
+
+
+def test_validator_chunked_route(rng, monkeypatch):
+    """Above SA_VALIDATE_FUSED_MAX the order check runs chunked (the
+    memory-safe form the 1 GiB CLI contract relies on): accepts the true
+    SA, rejects swaps in any chunk, rejects non-permutations."""
+    from hpc_suffix_array_tpu.core.oracle import suffix_array_oracle
+    from hpc_suffix_array_tpu.core.validate import is_valid_suffix_array
+
+    monkeypatch.setenv("SA_VALIDATE_FUSED_MAX", "4096")   # force chunking
+    alnum = np.frombuffer(
+        b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+        np.uint8)
+    text = alnum[rng.integers(0, 62, 40_000)]
+    sa = np.asarray(suffix_array_oracle(text.tobytes()))
+    assert is_valid_suffix_array(text, sa)
+    for pos in (1, 17_000, 39_998):          # early / middle / last chunk
+        bad = sa.copy()
+        bad[pos - 1], bad[pos] = sa[pos], sa[pos - 1]
+        assert not is_valid_suffix_array(text, bad), pos
+    dup = sa.copy()
+    dup[5] = dup[6]                          # not a permutation
+    assert not is_valid_suffix_array(text, dup)
+    assert not is_valid_suffix_array(text, sa[:-1])      # length mismatch
