@@ -34,7 +34,7 @@ from hpc_suffix_array_tpu.parallel import (
     make_mesh,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "SuffixArray",

@@ -628,11 +628,18 @@ def _extract_ties(S: int, flagB, idxB, out_base, n_b):
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _apply_patch(sa, slots, vals):
-    """Scatter host-resolved residue orderings back into the SA."""
-    ok = slots >= 0
-    safe = jnp.where(ok, slots, 0)
-    cur = sa[safe]
-    return sa.at[safe].set(jnp.where(ok, vals, cur))
+    """Scatter host-resolved residue orderings back into the SA.
+
+    Pad slots (-1) are routed OUT OF RANGE and dropped: the previous
+    form clamped them to slot 0 and wrote back its pre-scatter value,
+    which duplicates slot 0 as a scatter index — XLA's ordering for
+    duplicate-index set() is undefined, and when a REAL patch also
+    targets slot 0 (the text's two smallest suffixes window-tied) the
+    stale write could win (soak-found r3: sa[0] kept the unpatched
+    value; one-in-a-permutation corruption)."""
+    n = sa.shape[0]
+    tgt = jnp.where(slots >= 0, slots, n)
+    return sa.at[tgt].set(vals, mode="drop")
 
 
 @jax.jit

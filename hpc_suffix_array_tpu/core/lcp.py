@@ -251,12 +251,22 @@ def build_lcp_array(text, sa) -> jnp.ndarray:
                     "silently; pass the true SA or call build_sa_lcp(text)")
             return lcp
     if n > int(os.environ.get("SA_LCP_WINDOW_MIN", 1 << 22)):
-        if os.environ.get("SA_LCP_FETCH", "sorted") == "window":
+        try:
+            if os.environ.get("SA_LCP_FETCH", "sorted") == "window":
+                from hpc_suffix_array_tpu.core.lcp_window import (
+                    build_lcp_array_window)
+                return build_lcp_array_window(arr, sa)
             from hpc_suffix_array_tpu.core.lcp_window import (
-                build_lcp_array_window)
-            return build_lcp_array_window(arr, sa)
-        from hpc_suffix_array_tpu.core.lcp_window import (
-            build_lcp_array_sorted)
-        return build_lcp_array_sorted(arr, sa)
+                build_lcp_array_sorted)
+            return build_lcp_array_sorted(arr, sa)
+        except NotImplementedError:
+            # Degenerate tie structure (deep non-periodic repeats) that
+            # both the carried-keys and window finishers refuse: the
+            # PLCP rounds below handle ANY text, but their scan/gather
+            # program class is compile-infeasible on the TPU tunnel at
+            # large shapes (TODO.md) — fall back only under the cap,
+            # re-raise the window path's actionable message above it.
+            if n > int(os.environ.get("SA_LCP_PLCP_MAX", 1 << 23)):
+                raise
     plcp = plcp_kernel(arr, sa)
     return lcp_from_plcp(plcp, sa)

@@ -325,10 +325,12 @@ def _patch_kernel(mesh: Mesh):
     spec = PartitionSpec(SEQ_AXIS)
 
     def body(col, slots, vals):
-        ok = slots >= 0
-        safe = jnp.where(ok, slots, 0)
-        cur = col[safe]
-        return col.at[safe].set(jnp.where(ok, vals, cur))
+        # Pads (-1) scatter out of range and drop — never clamp pads to
+        # a real slot alongside a genuine patch for it (duplicate-index
+        # set() ordering is undefined; see core _apply_patch, soak r3).
+        m = col.shape[0]
+        tgt = jnp.where(slots >= 0, slots, m)
+        return col.at[tgt].set(vals, mode="drop")
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,

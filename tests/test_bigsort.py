@@ -522,3 +522,33 @@ class TestThirdCarriedWord:
         from hpc_suffix_array_tpu.core.bigsort import prepare_direct
 
         assert prepare_direct(ALNUM[rng.integers(0, 62, 50_000)])["nw"] == 2
+
+
+def test_residue_patch_at_slot_zero(rng):
+    """Soak-found r3: when the text's two smallest suffixes are
+    window-tied, the host-residue patch targets SA slot 0 — the old
+    _apply_patch clamped its pad slots to 0 too, and XLA's undefined
+    duplicate-index scatter order could keep the stale value there
+    (sa[0] duplicated, one value missing: not even a permutation).
+    Construct the collision deterministically and check all paths."""
+    from hpc_suffix_array_tpu.core.bigsort import (
+        execute_big, execute_direct, prepare_big, prepare_direct)
+
+    # Two '!' (smallest byte present) runs longer than any carried
+    # window, different continuations -> the two smallest suffixes tie
+    # through the window and need the host residue; filler is bigger.
+    filler = ALNUM[rng.integers(0, 62, 30_000)]
+    text = np.concatenate([
+        np.full(64, ord("!"), np.uint8), ALNUM[rng.integers(0, 62, 200)],
+        filler,
+        np.full(64, ord("!"), np.uint8), ALNUM[rng.integers(0, 62, 200)],
+    ])
+    ref = np.asarray(suffix_array_oracle(text.tobytes()))
+    for name, sa in [
+        ("msd_cf", execute_big(prepare_big(text, **TINY))),
+        ("msd_exact", execute_big(prepare_big(text, **TINY),
+                                  count_free=False)),
+        ("direct", execute_direct(prepare_direct(text))),
+    ]:
+        got = np.asarray(sa)
+        assert np.array_equal(got, ref), (name, got[:3], ref[:3])

@@ -55,3 +55,26 @@ def test_routing(rng, monkeypatch):
     sa = np.asarray(suffix_array_oracle(text.tobytes()))
     lcp = np.asarray(build_lcp_array(text, sa))
     assert np.array_equal(lcp, np.asarray(lcp_oracle(text, sa)))
+
+
+def test_lcp_router_plcp_fallback_on_deep_ties(monkeypatch):
+    """Texts whose deep non-periodic repeats defeat both the carried-keys
+    and window-finisher routes fall back to the PLCP rounds instead of
+    raising (soak-found, r3): an RLE-skew text (8-byte runs) where most
+    adjacent SA pairs exceed the fetch window."""
+    import numpy as np
+    from hpc_suffix_array_tpu.core.lcp import build_lcp_array
+    from hpc_suffix_array_tpu.core.oracle import (lcp_oracle,
+                                                  suffix_array_oracle)
+
+    monkeypatch.setenv("SA_LCP_BIG_MIN", "5000")
+    monkeypatch.setenv("SA_LCP_WINDOW_MIN", "2000")
+    rng = np.random.default_rng(0x50 + 7)        # the failing soak draw
+    n = 40_000
+    alnum = np.frombuffer(
+        b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+        np.uint8)
+    text = np.repeat(alnum[rng.integers(0, 62, n // 8 + 1)], 8)[:n].copy()
+    sa = np.asarray(suffix_array_oracle(text.tobytes()))
+    lcp = np.asarray(build_lcp_array(text, sa))
+    assert np.array_equal(lcp, np.asarray(lcp_oracle(text, sa)))
