@@ -29,6 +29,16 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    # Undo the package's malloc pin for this compile-heavy CPU run:
+    # XLA:CPU's LLVM JIT churn fragments a pinned heap into unbounded
+    # fresh RSS on this VM class (see utils/hostmem + TODO.md; soak run
+    # 2026-08-19 died with 'LLVM compilation error: Cannot allocate
+    # memory' without this).
+    from hpc_suffix_array_tpu.utils.hostmem import release_host_memory
+
+    release_host_memory()
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests"))
     fuzz = importlib.import_module("test_routing_fuzz")

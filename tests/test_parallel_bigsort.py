@@ -243,3 +243,31 @@ def test_sharded_dna_third_word(mesh8, rng, monkeypatch):
     assert np.array_equal(lcp_w, np.asarray(lcp_oracle(dna, want)))
     # sanity: with the real gate this corpus would have chosen 2 words
     assert real(dna, len(dna), 8 * (1 << 15) / 4)
+
+
+def test_wide_device_columns_with_residue(mesh8, rng):
+    """device_columns wide build on a text with genuine window-tied
+    groups: the per-shard patch kernel (_patch_kernel + _group_patches)
+    must land every host-resolved value, including a group at global
+    slot 0 (the duplicate-scatter hazard class fixed in r3)."""
+    import jax
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    n = 8 * 2048
+    text = ALNUM[rng.integers(0, 62, n)]
+    block = ALNUM[rng.integers(0, 62, 60)]
+    for at in (1000, 4000, 9000, 13000):   # deep repeats -> host residue
+        text[at:at + 60] = block
+    # force the smallest suffixes to tie through the carried window
+    text[:40] = ord("!")
+    text[8000:8040] = ord("!")
+    (s_hi, s_lo), (l_hi, l_lo) = build_suffix_array_sharded_big(
+        text, mesh8, wide_index=True, want_lcp=True, device_columns=True)
+    m = s_hi.shape[0] // 8
+    sa = (np.asarray(jax.device_get(s_hi)).astype(np.int64) * m
+          + np.asarray(jax.device_get(s_lo)))[:n]
+    lcp = (np.asarray(jax.device_get(l_hi)).astype(np.int64) * m
+           + np.asarray(jax.device_get(l_lo)))[:n]
+    want = np.asarray(suffix_array_oracle(text.tobytes())).astype(np.int64)
+    assert np.array_equal(sa, want)
+    assert np.array_equal(lcp, np.asarray(lcp_oracle(text, want)))
