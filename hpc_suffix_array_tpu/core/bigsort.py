@@ -123,6 +123,7 @@ class BigPlan:
     remap: np.ndarray           # uint8 -> dense code (1..sigma), int32[256]
     e0: np.ndarray              # int32[E] edge k0 words
     e1: np.ndarray              # int32[E] edge k1 words
+    minpad: bool = False        # 0-based codes, past-end = min symbol
     counts: np.ndarray | None = None    # (C, NB) run lengths
     meta: dict = field(default_factory=dict)
 
@@ -131,13 +132,54 @@ class BigPlan:
         return len(self.e0) + 1
 
 
-def _host_pack_words(arr, remap, pos, spw: int, bits: int, word: int):
+def packing_from_sigma(sigma: int) -> tuple[int, int, bool]:
+    """(bits, spw, minpad) for the carried-key paths.
+
+    Default ("reserved-0") packing maps real symbols to 1..sigma and
+    past-the-end positions to 0, so a shorter suffix that is a prefix
+    of a longer one strictly orders first inside the key window — the
+    strcmp semantics of the reference (manber_myers.c:195). That costs
+    one code point: a power-of-two alphabet needs an extra bit.
+
+    ``minpad`` packing drops the reserved 0 (codes 0..sigma-1) and maps
+    past-the-end to 0 = the MINIMUM real symbol. Padding with the
+    minimal symbol can never strictly misorder a pair: wherever the
+    true comparison ends a suffix (it wins immediately), the padded
+    comparison sees the minimal continuation — which either still wins
+    or TIES, and window-tied pairs are resolved exactly by the host
+    residue pass / chain rule (which know true lengths). The payoff is
+    packing density where sigma is a power of two: DNA carries 15
+    symbols per word instead of 10 (2 bits vs 3), collapsing the
+    expected window-tied residue by sigma^(extra symbols) — at 2^30 DNA
+    from ~1M pairs to ~1. Chosen automatically whenever it deepens the
+    window. The key-derived LCP must then clamp to the pair's shorter
+    suffix length (see _bucket_sort); with reserved-0 packing that
+    clamp is a provable no-op (the pad code 0 mismatches every real
+    symbol at exactly the shorter suffix's end).
+    """
+    k = max(int(sigma), 1)
+    bits_res = max(1, k.bit_length())
+    if k >= 2:
+        bits_mp = max(1, (k - 1).bit_length())
+        if 30 // bits_mp > 30 // bits_res:
+            return bits_mp, 30 // bits_mp, True
+    return bits_res, 30 // bits_res, False
+
+
+def packing_mode(remap: np.ndarray) -> tuple[int, int, bool]:
+    """(bits, spw, minpad) from a dense alphabet remap table."""
+    return packing_from_sigma(int(remap.max()))
+
+
+def _host_pack_words(arr, remap, pos, spw: int, bits: int, word: int,
+                     minpad: bool = False):
     """k{word} for sampled positions (host mirror of the device packing)."""
     n = len(arr)
+    shift = 1 if minpad else 0
     out = np.zeros(len(pos), np.int64)
     for s in range(spw):
         p = pos + word * spw + s
-        code = np.where(p < n, remap[arr[np.minimum(p, n - 1)]], 0)
+        code = np.where(p < n, remap[arr[np.minimum(p, n - 1)]] - shift, 0)
         out = (out << bits) | code
     return out
 
@@ -145,7 +187,7 @@ def _host_pack_words(arr, remap, pos, spw: int, bits: int, word: int):
 def sample_edges(arr: np.ndarray, remap, spw: int, bits: int,
                  target_bucket: int, sample: int = 1 << 21,
                  seed: int = 0x5A, k0_only: bool | None = None,
-                 with_fracs: bool = False):
+                 with_fracs: bool = False, minpad: bool = False):
     """Quantile bucket edges over sampled keys (host).
 
     Prefers k0-only edges (e1 = all zeros, making the bucket id a
@@ -165,7 +207,7 @@ def sample_edges(arr: np.ndarray, remap, spw: int, bits: int,
     n_buckets = max(2, math.ceil(n / target_bucket))
     rng = np.random.default_rng(seed)
     pos = rng.integers(0, n, min(sample, 4 * n))
-    c0 = _host_pack_words(arr, remap, pos, spw, bits, 0)
+    c0 = _host_pack_words(arr, remap, pos, spw, bits, 0, minpad)
     if k0_only is not False:
         c0s = np.sort(c0)
         q = (np.arange(1, n_buckets) * len(c0s)) // n_buckets
@@ -185,7 +227,7 @@ def sample_edges(arr: np.ndarray, remap, spw: int, bits: int,
         if k0_only:
             raise ValueError("k0-only edges requested but the sampled "
                              "k0 distribution is too skewed")
-    c1 = _host_pack_words(arr, remap, pos, spw, bits, 1)
+    c1 = _host_pack_words(arr, remap, pos, spw, bits, 1, minpad)
     code = (c0.astype(np.int64) << 31) | c1
     code.sort()
     q = (np.arange(1, n_buckets) * len(code)) // n_buckets
@@ -199,9 +241,10 @@ def sample_edges(arr: np.ndarray, remap, spw: int, bits: int,
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 9))
 def _sample_k0_device(n_edges: int, m_s: int, stride: int, spw: int,
-                      bits: int, ranges, text_pad, vals, n):
+                      bits: int, ranges, text_pad, vals, n,
+                      minpad: bool = False):
     """k0-only quantile edges, entirely on device (strided sample).
 
     The host sampler costs ~0.6 s per re-plan at 1 GiB (random fancy
@@ -218,7 +261,7 @@ def _sample_k0_device(n_edges: int, m_s: int, stride: int, spw: int,
     codes = codes_from_bytes(blk, vals, ranges)
     pos = lax.iota(jnp.int32, m_s) * stride
     codes = jnp.where((pos[:, None] + lax.iota(jnp.int32, spw)) < n,
-                      codes, 0)
+                      codes - (1 if minpad else 0), 0)
     k0 = jnp.zeros((m_s,), jnp.int32)
     for s in range(spw):
         k0 = (k0 << bits) | codes[:, s]
@@ -251,7 +294,8 @@ def replan_edges(state, text=None) -> None:
         m_s = min(1 << 21, plan.n // stride or 1)
         plan.e0, cuts, n_valid = _sample_k0_device(
             ne, m_s, stride, plan.spw, plan.bits, ranges,
-            state["text_pad"], state["vals_d"], jnp.int32(plan.n))
+            state["text_pad"], state["vals_d"], jnp.int32(plan.n),
+            plan.minpad)
         cuts_h, nv = jax.device_get((cuts, n_valid))
         plan.meta["fill_frac"] = (
             np.diff(np.r_[0, np.asarray(cuts_h), int(nv)])
@@ -260,7 +304,8 @@ def replan_edges(state, text=None) -> None:
     plan.e0, plan.e1, plan.meta["fill_frac"] = sample_edges(
         np.asarray(text if text is not None else state["host_text"]),
         plan.remap, plan.spw, plan.bits,
-        plan.meta.get("target_bucket", 1 << 23), with_fracs=True)
+        plan.meta.get("target_bucket", 1 << 23), with_fracs=True,
+        minpad=plan.minpad)
 
 
 def _dev_pack_word(codes_ext, offset: int, spw: int, bits: int, m: int):
@@ -315,11 +360,12 @@ def codes_from_bytes(ext, vals, ranges):
 
 def _chunk_codes(m: int, spw: int, bits: int, text_pad, vals, start, n,
                  static_start: int | None = None, ranges=None,
-                 k1_too: bool = True):
+                 k1_too: bool = True, minpad: bool = False):
     """(k0, k1) carried key words for one chunk (see codes_from_bytes).
 
     ``k1_too=False`` skips the second word (k0-only consumers like the
-    count fast path)."""
+    count fast path). ``minpad``: 0-based codes with past-the-end as
+    the minimum symbol (see packing_from_sigma)."""
     w = 2 * spw if k1_too else spw
     if static_start is None:
         ext = lax.dynamic_slice(text_pad, (start,), (m + 2 * spw,))
@@ -328,15 +374,16 @@ def _chunk_codes(m: int, spw: int, bits: int, text_pad, vals, start, n,
                         (static_start + m + w,))
     pos_ext = start + lax.iota(jnp.int32, m + w)
     codes = codes_from_bytes(ext[:m + w], vals, ranges)
-    codes = jnp.where(pos_ext < n, codes, 0)
+    codes = jnp.where(pos_ext < n, codes - (1 if minpad else 0), 0)
     k0 = _dev_pack_word(codes, 0, spw, bits, m)
     k1 = _dev_pack_word(codes, spw, spw, bits, m) if k1_too else None
     return k0, k1
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 9, 10, 11))
 def _count_chunks(C: int, m: int, spw: int, bits: int, text_pad, vals,
-                  e0, e1, n, ranges=None, k0_only: bool = False):
+                  e0, e1, n, ranges=None, k0_only: bool = False,
+                  minpad: bool = False):
     """(C, E) histogram rows cnt_ge[c, e] = #{real pairs >= edge e}, ONE
     dispatch. Per-bucket run lengths follow on the host by differencing
     (bid is the number of edges at or below the pair, so bid >= e+1 is
@@ -352,13 +399,14 @@ def _count_chunks(C: int, m: int, spw: int, bits: int, text_pad, vals,
         if k0_only:
             k0 = _chunk_codes(m, spw, bits, text_pad, vals,
                               jnp.int32(c * m), n, static_start=c * m,
-                              ranges=ranges, k1_too=False)[0]
+                              ranges=ranges, k1_too=False,
+                              minpad=minpad)[0]
             ok = (c * m + lax.iota(jnp.int32, m)) < n
             ge = (k0[:, None] >= e0) & ok[:, None]
         else:
             k0, k1 = _chunk_codes(m, spw, bits, text_pad, vals,
                                   jnp.int32(c * m), n, static_start=c * m,
-                                  ranges=ranges)
+                                  ranges=ranges, minpad=minpad)
             ok = (c * m + lax.iota(jnp.int32, m)) < n
             ge = ((k0[:, None] > e0) | ((k0[:, None] == e0)
                                         & (k1[:, None] >= e1))) & ok[:, None]
@@ -366,11 +414,11 @@ def _count_chunks(C: int, m: int, spw: int, bits: int, text_pad, vals,
     return jnp.stack(rows)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 14),
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 14, 15),
                    donate_argnums=(5, 6, 7))
 def _scatter_chunk(m: int, spw: int, bits: int, W: int, keys: int,
                    k0B, k1B, idxB, text_pad, vals, dest, bnd, start, n,
-                   ranges=None):
+                   ranges=None, minpad: bool = False):
     """Distribute one chunk into the bucket-major slabs (spill-forward).
 
     One 3-operand sort: bucket id is monotone in the key pair, so the
@@ -387,7 +435,7 @@ def _scatter_chunk(m: int, spw: int, bits: int, W: int, keys: int,
     """
     NB = dest.shape[0]
     k0, k1 = _chunk_codes(m, spw, bits, text_pad, vals, start, n,
-                          ranges=ranges)
+                          ranges=ranges, minpad=minpad)
     pos = start + lax.iota(jnp.int32, m)
     ok = pos < n
     k0 = jnp.where(ok, k0, PAD_KEY)
@@ -443,11 +491,11 @@ def _chunk_boundaries(s_k0, e0, m_real, NB: int):
     return jnp.concatenate([jnp.zeros((1,), jnp.int32), pos])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 16),
                    donate_argnums=(5, 6, 7, 8))
 def _scatter_chunk_cf(m: int, spw: int, bits: int, W: int, NB: int,
                       k0B, k1B, idxB, fill, text_pad, vals, e0, base,
-                      start, n, ranges=None):
+                      start, n, ranges=None, minpad: bool = False):
     """Count-free ``_scatter_chunk``: no precomputed counts needed.
 
     The chunk is sorted as usual; its run boundaries come from an exact
@@ -467,7 +515,7 @@ def _scatter_chunk_cf(m: int, spw: int, bits: int, W: int, NB: int,
     Returns the updated slabs and fill vector.
     """
     k0, k1 = _chunk_codes(m, spw, bits, text_pad, vals, start, n,
-                          ranges=ranges)
+                          ranges=ranges, minpad=minpad)
     pos = start + lax.iota(jnp.int32, m)
     ok = pos < n
     k0 = jnp.where(ok, k0, PAD_KEY)
@@ -517,6 +565,12 @@ def _bucket_sort(S: int, desc_idx: bool, want_lcp: bool, spw: int,
     pairs: in chain mode lcp = n - prev_idx exactly (consecutive chain
     members, the lcp_window chain rule); ascending mode leaves the
     2*spw lower bound for the host residue pass to overwrite.
+
+    Under minpad packing (packing_from_sigma) the key-derived values
+    here can OVERSHOOT the true LCP for pairs where the shorter suffix
+    ends inside the window and continues as min-symbol pads; the caller
+    applies the final shorter-suffix-length clamp (``_clamp_lcp``) over
+    the assembled arrays, where the post-residue indices are exact.
     """
     big = jnp.int32(1) << 30
     iota = lax.iota(jnp.int32, S)
@@ -642,6 +696,27 @@ def _apply_patch(sa, slots, vals):
     return sa.at[tgt].set(vals, mode="drop")
 
 
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _clamp_lcp(sa, lcp, n):
+    """Final shorter-suffix-length clamp over the assembled arrays.
+
+    Under minpad packing (packing_from_sigma) a suffix ending inside the
+    carried window continues as min-symbol pads, so a pair's first CODE
+    mismatch — the _bucket_sort key-derived lcp — can land past the
+    shorter suffix's true end. true_lcp = min(first real mismatch,
+    len_a, len_b), and the codes are order-isomorphic to the bytes up to
+    the shorter length, so min(key_lcp, n - max(sa[j-1], sa[j])) is
+    exact. Runs over the FINAL sa (post residue patch): the key xor of
+    a tie group's edge pairs is invariant under the group's reorder, but
+    the clamp operand is whichever member landed at the edge. Host-
+    patched and chain-rule values are already <= both suffix lengths, so
+    the clamp never disturbs them. Row 0 pairs with itself:
+    lcp[0] = 0 stays 0.
+    """
+    prev = jnp.concatenate([sa[:1], sa[:-1]])
+    return jnp.minimum(lcp, n - jnp.maximum(prev, sa))
+
+
 @jax.jit
 def _period_mismatches(text_pad, d, n):
     """#positions t in [0, n-d) with text[t] != text[t+d] (d traced)."""
@@ -687,8 +762,7 @@ def estimate_repeat_len(arr: np.ndarray, sample: int = 1 << 16,
 
 def carried_depth_syms(sigma: int) -> int:
     """Symbols resolved by the carried keys (2 words)."""
-    bits = max(1, int(sigma).bit_length())
-    return 2 * (30 // bits)
+    return 2 * packing_from_sigma(sigma)[1]
 
 
 def chunk_geometry(n: int, chunk_elems: int | None = None
@@ -728,9 +802,11 @@ def prepare_big(text, *, target_bucket: int = 1 << 23,
     if n < 8:
         raise ValueError("bigsort needs n >= 8; use build_suffix_array")
     m, n_chunks, pad_len = chunk_geometry(n, chunk_elems)
-    remap, bits, spw = alphabet_remap(arr)
+    remap, _, _ = alphabet_remap(arr)
+    bits, spw, minpad = packing_mode(remap)
     e0, e1, fill_frac = sample_edges(arr, remap, spw, bits, target_bucket,
-                                     sample=sample, with_fracs=True)
+                                     sample=sample, with_fracs=True,
+                                     minpad=minpad)
     if text_dev is None:
         from hpc_suffix_array_tpu.utils.staging import stage_to_device
 
@@ -743,7 +819,7 @@ def prepare_big(text, *, target_bucket: int = 1 << 23,
             "size it with chunk_geometry(n, chunk_elems)")
     return {
         "plan": BigPlan(n=n, m=m, n_chunks=n_chunks, bits=bits, spw=spw,
-                        remap=remap, e0=e0, e1=e1,
+                        remap=remap, e0=e0, e1=e1, minpad=minpad,
                         meta={"est_repeat": estimate_repeat_len(arr),
                               "target_bucket": target_bucket,
                               "fill_frac": fill_frac}),
@@ -992,7 +1068,7 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
             k0B, k1B, idxB, fill_d = _scatter_chunk_cf(
                 m, plan.spw, plan.bits, W, NB, k0B, k1B, idxB, fill_d,
                 text_pad, vals_d, e0, base_d, jnp.int32(c * m),
-                jnp.int32(n), ranges)
+                jnp.int32(n), ranges, plan.minpad)
         fill_w = np.asarray(jax.device_get(fill_d)).astype(np.int64)
         fills, max_run = fill_w[:NB], int(fill_w[NB])
         assert fills.sum() == n, (fills.sum(), n)     # boundary-search inv.
@@ -1008,7 +1084,8 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
         # --- pass A: count ----------------------------------------------
         cnt_ge = np.asarray(jax.device_get(_count_chunks(
             C, m, plan.spw, plan.bits, text_pad, vals_d, e0, e1,
-            jnp.int32(n), ranges, k0_only))).astype(np.int64)    # (C, E)
+            jnp.int32(n), ranges, k0_only,
+            plan.minpad))).astype(np.int64)                      # (C, E)
         real = np.minimum(m, np.maximum(0, n - np.arange(C) * m))
         full = np.concatenate(
             [real[:, None], cnt_ge, np.zeros((C, 1), np.int64)], axis=1)
@@ -1060,7 +1137,7 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
                 m, plan.spw, plan.bits, W, keys, k0B, k1B, idxB, text_pad,
                 vals_d, jnp.asarray(dest[c].astype(np.int32)),
                 jnp.asarray(bnd[c].astype(np.int32)),
-                jnp.int32(c * m), jnp.int32(n), ranges)
+                jnp.int32(c * m), jnp.int32(n), ranges, plan.minpad)
         _ = jax.device_get(idxB[0])                              # fence
         _stamps.append(("scatter", time.perf_counter()))
 
@@ -1204,6 +1281,8 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
             sa, lcp, state["host_text"],
             [(slots.astype(np.int64), idxs) for _b, slots, idxs in patches],
             n, want_lcp)
+    if want_lcp and plan.minpad:
+        lcp = _clamp_lcp(sa, lcp, jnp.int32(n))
 
     plan.meta["n_buckets_run"] = len(live)
     plan.meta["chain_mode"] = chain_mode
@@ -1238,15 +1317,15 @@ def build_suffix_array_big(text, **kw) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 6, 7, 8))
 def _direct_keys(n_pad: int, spw: int, bits: int, text_ext, vals, n,
-                 ranges=None, nw: int = 2):
+                 ranges=None, nw: int = 2, minpad: bool = False):
     """(k0, .., k_{nw-1}, iota) for the whole text — PAD_KEY past n, so
     pads sort to the tail and the first n sorted rows are the suffix
     array. ``nw`` carried words resolve nw*spw leading symbols."""
     pos_ext = lax.iota(jnp.int32, n_pad + nw * spw)
     codes = codes_from_bytes(text_ext, vals, ranges)
-    codes = jnp.where(pos_ext < n, codes, 0)
+    codes = jnp.where(pos_ext < n, codes - (1 if minpad else 0), 0)
     iota = lax.iota(jnp.int32, n_pad)
     ok = iota < n
     words = tuple(
@@ -1315,7 +1394,7 @@ def _direct_sort3(desc_idx: bool, want_lcp: bool, spw: int, bits: int,
 
 def residue_feasible(arr: np.ndarray, n: int, cap: float,
                      est_repeat: int | None = None,
-                     words: int = 2) -> bool:
+                     words: int = 2, spw: int | None = None) -> bool:
     """Expected window-tied residue fits ``cap`` — or the text looks
     globally periodic, where the chain rule resolves ties analytically
     with no cap. Shared gate for the carried-keys paths (direct, and
@@ -1324,9 +1403,13 @@ def residue_feasible(arr: np.ndarray, n: int, cap: float,
     word shrinks the prediction by sigma^spw — the small-alphabet fix,
     see _direct_sort3). Uniformity assumption: skewed real texts that
     slip past it raise NotImplementedError downstream and the caller
-    falls back."""
-    remap, bits, spw = alphabet_remap(arr)
+    falls back. ``spw`` defaults to the caller-agnostic packing_mode
+    density; callers packing differently (the sharded reserved-0 path)
+    pass their own."""
+    remap, _, _ = alphabet_remap(arr)
     sigma = max(int(remap.max()), 2)
+    if spw is None:
+        spw = packing_from_sigma(sigma)[1]
     log_pred = 2 * math.log(n) - words * spw * math.log(sigma)
     if log_pred < math.log(max(cap, 2.0)):
         return True
@@ -1368,7 +1451,8 @@ def prepare_direct(text, *, text_dev=None, n_words: int | None = None):
     n = int(arr.shape[0])
     if n < 8:
         raise ValueError("direct sort needs n >= 8; use build_suffix_array")
-    remap, bits, spw = alphabet_remap(arr)
+    remap, _, _ = alphabet_remap(arr)
+    bits, spw, minpad = packing_mode(remap)
     est_repeat = estimate_repeat_len(arr)
     nw = n_words
     if nw is None:
@@ -1389,6 +1473,7 @@ def prepare_direct(text, *, text_dev=None, n_words: int | None = None):
         text_ext = stage_to_device(host)
     return {
         "n": n, "n_pad": n_pad, "bits": bits, "spw": spw, "nw": nw,
+        "minpad": minpad,
         "text_ext": text_ext, "ranges": byte_ranges(remap),
         "vals_d": jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8)),
         "host_text": arr,
@@ -1419,14 +1504,16 @@ def execute_direct(state, *, force_chain_mode: bool | None = None,
 
     if nw == 3:
         k0, k1, k2, iota = _direct_keys(n_pad, spw, bits, text_ext,
-                                        vals_d, jnp.int32(n), ranges, 3)
+                                        vals_d, jnp.int32(n), ranges, 3,
+                                        minpad=state.get("minpad", False))
         s_idx, tie32, ties_d, d_d, dok_d, lcp32 = _direct_sort3(
             chain_mode, want_lcp, spw, bits, k0, k1, k2, iota,
             jnp.int32(n))
         del k0, k1, k2, iota
     else:
         k0, k1, iota = _direct_keys(n_pad, spw, bits, text_ext, vals_d,
-                                    jnp.int32(n), ranges)
+                                    jnp.int32(n), ranges,
+                                    minpad=state.get("minpad", False))
         s_idx, tie32, ties_d, d_d, dok_d, lcp32, _pk0, _pk1 = _bucket_sort(
             n_pad, chain_mode, want_lcp, spw, bits, k0, k1, iota,
             jnp.int32(0), jnp.int32(n), jnp.int32(n),
@@ -1494,6 +1581,8 @@ def execute_direct(state, *, force_chain_mode: bool | None = None,
         sa, lcp, n_patched = _apply_residue(
             sa, lcp, state["host_text"], patches, n, want_lcp)
         meta["n_patched"] = n_patched
+    if want_lcp and state.get("minpad", False):
+        lcp = _clamp_lcp(sa, lcp, jnp.int32(n))
     meta["chain_mode"] = chain_mode
     return (sa, lcp) if want_lcp else sa
 

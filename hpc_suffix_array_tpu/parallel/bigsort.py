@@ -387,8 +387,9 @@ def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
     # sharded). Periodic texts stay at 2 (chain rule needs no cap).
     cap_total = P * RESIDUE_SLOTS / 4
     nw = 2
-    if not residue_feasible(arr, n, cap_total, est_repeat):
-        if residue_feasible(arr, n, cap_total, est_repeat, words=3):
+    if not residue_feasible(arr, n, cap_total, est_repeat, spw=spw):
+        if residue_feasible(arr, n, cap_total, est_repeat, words=3,
+                            spw=spw):
             nw = 3
     chain = force_chain_mode
     if chain is None:

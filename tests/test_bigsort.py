@@ -9,13 +9,14 @@ import pytest
 
 from hpc_suffix_array_tpu.core.bigsort import (
     build_suffix_array_big, carried_depth_syms, prepare_big, execute_big)
-from hpc_suffix_array_tpu.core.oracle import suffix_array_oracle
+from hpc_suffix_array_tpu.core.oracle import lcp_oracle, suffix_array_oracle
 
 TINY = dict(target_bucket=1 << 12, chunk_elems=1 << 12, sample=1 << 12)
 
 ALNUM = np.frombuffer(
     b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
     np.uint8)
+DNA_BYTES = np.frombuffer(b"ACGT", np.uint8)
 
 
 def _check(text):
@@ -102,9 +103,25 @@ def test_single_chunk_single_bucket(rng):
 
 
 def test_carried_depth():
-    assert carried_depth_syms(4) == 20          # DNA: 3-bit codes
+    # Power-of-two alphabets pack minpad (no reserved past-end code):
+    # DNA 2-bit -> 15 symbols/word (see packing_from_sigma).
+    assert carried_depth_syms(4) == 30          # DNA: 2-bit minpad codes
+    assert carried_depth_syms(2) == 60          # binary: 1-bit minpad
     assert carried_depth_syms(256) == 6         # full bytes: 9-bit codes
     assert carried_depth_syms(62) == 10         # alnum: 6-bit codes
+    assert carried_depth_syms(5) == 20          # non-power-of-two: reserved
+
+
+def test_packing_from_sigma_modes():
+    from hpc_suffix_array_tpu.core.bigsort import packing_from_sigma
+
+    assert packing_from_sigma(4) == (2, 15, True)
+    assert packing_from_sigma(2) == (1, 30, True)
+    assert packing_from_sigma(8) == (3, 10, True)
+    assert packing_from_sigma(16) == (4, 7, True)
+    assert packing_from_sigma(62) == (6, 5, False)   # no density gain
+    assert packing_from_sigma(1) == (1, 30, False)   # degenerate: reserved
+    assert packing_from_sigma(256) == (9, 3, False)  # same spw: reserved
 
 
 def test_staged_api_matches_oneshot(rng):
@@ -504,10 +521,16 @@ class TestThirdCarriedWord:
     def test_nw3_auto_when_2word_residue_overflows(self, rng, monkeypatch):
         """Shrinking the extraction cap makes 2 words infeasible on a
         binary alphabet; prepare_direct must auto-pick the third word
-        and stay exact."""
+        and stay exact. Forced onto reserved-0 packing: under minpad a
+        binary alphabet carries 60 symbols and 2 words never overflow
+        at testable sizes."""
         import hpc_suffix_array_tpu.core.bigsort as bs
 
         text = np.frombuffer(b"ab", np.uint8)[rng.integers(0, 2, 50_000)]
+        monkeypatch.setattr(bs, "packing_mode", lambda remap: (2, 15,
+                                                               False))
+        monkeypatch.setattr(bs, "packing_from_sigma",
+                            lambda sigma: (2, 15, False))
         # 2-word prediction (bits=2, spw=15): n^2 * 2^-30 ~ 2.3 > cap/4
         # once cap < ~9; 3 words: n^2 * 2^-45 ~ 0.
         monkeypatch.setattr(bs, "RESIDUE_SLOTS", 8)
@@ -552,3 +575,77 @@ def test_residue_patch_at_slot_zero(rng):
     ]:
         got = np.asarray(sa)
         assert np.array_equal(got, ref), (name, got[:3], ref[:3])
+
+
+class TestMinpadPacking:
+    """Power-of-two alphabets pack without the reserved past-end code
+    (packing_from_sigma minpad mode): past-end positions read as the
+    MINIMUM real symbol. Padding with the minimum never strictly
+    misorders a pair (strict wins stay wins or become window ties, which
+    the host residue pass / chain rule resolve with true lengths), and
+    the key-derived LCP is finished by the shorter-suffix-length clamp
+    (_clamp_lcp) over the final arrays."""
+
+    def _check(self, arr, target_bucket=256):
+        from hpc_suffix_array_tpu.core.bigsort import (
+            execute_big, execute_direct, prepare_big, prepare_direct)
+
+        want_sa = np.asarray(suffix_array_oracle(arr.tobytes()))
+        want_lcp = np.asarray(lcp_oracle(arr, want_sa))
+        st = prepare_big(arr, target_bucket=target_bucket)
+        assert st["plan"].minpad
+        sa, lcp = execute_big(st, want_lcp=True)
+        assert np.array_equal(np.asarray(sa), want_sa)
+        assert np.array_equal(np.asarray(lcp), want_lcp)
+        st = prepare_direct(arr)
+        assert st["minpad"]
+        sa, lcp = execute_direct(st, want_lcp=True)
+        assert np.array_equal(np.asarray(sa), want_sa)
+        assert np.array_equal(np.asarray(lcp), want_lcp)
+
+    def test_dna_random(self, rng):
+        self._check(DNA_BYTES[rng.integers(0, 4, 20_000)])
+
+    def test_dna_min_symbol_tail(self, rng):
+        """Tail run of the minimum symbol: every suffix in the run ties
+        with its neighbors through the pad window — the stress case for
+        min-padding (pad-induced ties + LCP clamp at the text end)."""
+        arr = DNA_BYTES[rng.integers(0, 4, 5_000)]
+        arr[-50:] = DNA_BYTES[0]
+        self._check(arr)
+
+    def test_binary_with_byte_zero(self, rng):
+        """Byte 0 in the alphabet: its code coincides with the pad code
+        under minpad; order and LCP must still be exact."""
+        arr = rng.integers(0, 2, 8_000).astype(np.uint8)
+        arr[-30:] = 0
+        self._check(arr)
+
+    def test_sigma8_periodic_chain(self, rng):
+        """sigma=8 periodic text rides chain mode under minpad."""
+        from hpc_suffix_array_tpu.core.bigsort import (
+            execute_direct, prepare_direct)
+
+        base = np.concatenate([np.arange(8, dtype=np.uint8) + 97,
+                               rng.integers(0, 8, 5).astype(np.uint8)
+                               + 97])                # all 8 symbols present
+        arr = np.tile(base, 2000)
+        st = prepare_direct(arr)
+        assert st["minpad"]
+        sa, lcp = execute_direct(st, want_lcp=True)
+        assert st["meta"]["chain_mode"]
+        want = np.asarray(suffix_array_oracle(arr.tobytes()))
+        assert np.array_equal(np.asarray(sa), want)
+        assert np.array_equal(np.asarray(lcp), np.asarray(lcp_oracle(arr,
+                                                                     want)))
+
+    def test_exact_count_path(self, rng):
+        """The two-pass (count) scatter under minpad packing."""
+        from hpc_suffix_array_tpu.core.bigsort import (
+            execute_big, prepare_big)
+
+        arr = DNA_BYTES[rng.integers(0, 4, 20_000)]
+        want = np.asarray(suffix_array_oracle(arr.tobytes()))
+        sa = execute_big(prepare_big(arr, target_bucket=256),
+                         count_free=False)
+        assert np.array_equal(np.asarray(sa), want)

@@ -231,7 +231,7 @@ def test_sharded_dna_third_word(mesh8, rng, monkeypatch):
     real = pb.residue_feasible
     monkeypatch.setattr(
         pb, "residue_feasible",
-        lambda arr, n, cap, est=None, words=2: words >= 3)
+        lambda arr, n, cap, est=None, words=2, spw=None: words >= 3)
     dna = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 8 * 2048)]
     want = np.asarray(suffix_array_oracle(dna.tobytes()))
     sa, lcp = build_suffix_array_sharded_big(dna, mesh8, want_lcp=True)
