@@ -1,11 +1,17 @@
-"""DNA at the full 1 GiB headline size (2-word MSD, heavy residue).
+"""DNA at the full 1 GiB headline size (2-word MSD).
 
-The BASELINE ladder's DNA config is 256 MB (direct path, 3 carried
-words, measured 143-145 MB/s r3); this records the 1 GiB DNA point,
-which must take the 2-word MSD (4 slabs of a 3-word variant would not
-fit HBM) and therefore exercises the heavy-residue machinery at scale:
-expected window-tied pairs n^2 * 4^-20 ~ 2^20 (~8k per bucket, under
-the 2^15 per-bucket cap), resolved vectorized on the host and patched.
+The BASELINE ladder's DNA config is 256 MB (direct path, measured
+188.7 MB/s r3 minpad); this records the 1 GiB DNA point through the
+2-word MSD (a 3-word variant's 4th slab would not fit HBM).
+
+History: under reserved-0 packing (20 carried symbols) this was the
+heavy-residue stress — n^2 * 4^-20 ~ 2^20 window-tied pairs (measured
+1,050,967), 4.6 s of a 12.8 s build (84.0 MB/s, r3 session 1). Min-pad
+packing (packing_from_sigma: 2-bit codes, 30 carried symbols) collapses
+the prediction to n^2 * 4^-30 ~ 1: measured 2026-08-19 — **166.6 MB/s,
+0 patched pairs** (phases scatter 3.62 / bucket 2.71 / residue 0.0),
+host-validated exact by the native O(n) validator. DNA now matches the
+alnum headline (168.6) at the full 1 GiB scale.
 
 Usage: python experiments/dna_1gib.py [log2_n]
 """
