@@ -1,0 +1,59 @@
+"""MSD with the under-2^23 plan geometry at direct-path sizes.
+
+The r3 step-structure finding (sort cost jumps past powers of two;
+plan fills/chunks under 2^23 -> 1 GiB 168.6 -> 218.9 MB/s) may move the
+direct-vs-MSD crossover: the direct path pays ONE whole-text sort whose
+per-element cost grows with log n, while the MSD pays two small
+cheap-class sorts. This measures execute_big at sizes the router
+currently sends to the direct path (143-164 MB/s measured r3).
+
+Run on the real chip: python experiments/routing_msd_small.py [log2 ...]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from hpc_suffix_array_tpu.core.bigsort import (
+        chunk_geometry, execute_big, prepare_big, replan_edges)
+    from hpc_suffix_array_tpu.utils.twin import twin_corpus
+
+    chunk = 7 << 20
+    sizes = [1 << int(a) for a in sys.argv[1:]] or [1 << lg
+                                                    for lg in (24, 26, 28)]
+    for n in sizes:
+        _, _, pad_len = chunk_geometry(n, chunk)
+        text, text_dev = twin_corpus(n, pad_len)
+        state = prepare_big(text, chunk_elems=chunk, text_dev=text_dev)
+        sa = execute_big(dict(state))                   # warmup/compile
+        jax.device_get(sa[-1])
+        del sa
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            replan_edges(state, text)
+            sa = execute_big(dict(state))
+            jax.device_get(sa[-1])
+            best = min(best, time.perf_counter() - t0)
+            del sa
+        meta = state["plan"].meta
+        print(json.dumps({
+            "path": "msd", "log2_n": int(np.log2(n)),
+            "mb_s": round(n / best / 1e6, 1),
+            "n_buckets": meta.get("n_buckets_run"),
+            "phases": meta.get("phase_host_s")}), flush=True)
+        del state, text_dev
+
+
+if __name__ == "__main__":
+    main()

@@ -775,19 +775,23 @@ def chunk_geometry(n: int, chunk_elems: int | None = None
     """
     if chunk_elems is None:
         # Everything routed to the MSD (above the direct path's one-sort
-        # cap, 2^28) gets 2^23 chunks: bitonic sort cost per element
-        # falls with size (1 GiB scatter 4.46 s at m=2^24 -> 3.95 s at
-        # 2^23; 512 MB total 115.6 -> 132.6 MB/s vs m=2^25), and the
-        # smaller temporaries give HBM headroom
-        # (experiments/bucket_barrier_ab.py 2026-08-18). Below, keep
-        # fewer/larger chunks — per-chunk fixed costs dominate sooner.
-        chunk_elems = 1 << 23 if n > 1 << 28 else 1 << 25
+        # cap, 2^28) gets 7*2^20 chunks: sort cost STEPS at powers of
+        # two, and the scatter sorts m + W elements — m = 7*2^20 keeps
+        # m + W under 2^23, in the cheap network class (measured v5e
+        # 2026-08-19: 1 GiB scatter 3.56 s at m=2^23 -> 2.77 s at
+        # 7*2^20; with under-2^23 bucket fills the headline went
+        # 168.6 -> 218.9 MB/s). Smaller still loses to per-chunk fixed
+        # costs (m=2^23 beat 2^24 by only ~11%/elem before the step
+        # insight — experiments/bucket_barrier_ab.py). Below the direct
+        # cap, keep fewer/larger chunks.
+        chunk_elems = int(os.environ.get(
+            "SA_CHUNK_ELEMS", 7 << 20 if n > 1 << 28 else 1 << 25))
     m = bucket_size(min(chunk_elems, n))
     n_chunks = -(-n // m)
     return m, n_chunks, n_chunks * m + HALO
 
 
-def prepare_big(text, *, target_bucket: int = 1 << 23,
+def prepare_big(text, *, target_bucket: int | None = None,
                 chunk_elems: int | None = None, sample: int = 1 << 21,
                 text_dev=None):
     """Stage the text on device and build the host plan (untimed setup).
@@ -801,6 +805,17 @@ def prepare_big(text, *, target_bucket: int = 1 << 23,
     n = int(arr.shape[0])
     if n < 8:
         raise ValueError("bigsort needs n >= 8; use build_suffix_array")
+    if target_bucket is None:
+        # Just UNDER 2^23 on purpose: quantile edges target n/NB
+        # elements per bucket, and 8 060 000 (+ the ~1 % sampling error)
+        # keeps every bucket fill below 2^23, so every bucket sort runs
+        # in the at-or-below-2^23 network class. Planning AT 2^23 puts
+        # half the fills just past the power of two, where the sort
+        # steps to the next class: measured 189.3 vs 168.6 MB/s at 2^30
+        # for this change alone (2026-08-19; evening out the pad with a
+        # uniform fine-grid shape measured 160.0 — a regression — which
+        # is how the step structure was found).
+        target_bucket = int(os.environ.get("SA_TARGET_BUCKET", 8_060_000))
     m, n_chunks, pad_len = chunk_geometry(n, chunk_elems)
     remap, _, _ = alphabet_remap(arr)
     bits, spw, minpad = packing_mode(remap)
@@ -1142,6 +1157,14 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
         _stamps.append(("scatter", time.perf_counter()))
 
     # --- shared post-scatter layout (exact fills either way) -----------
+    # Bucket shapes stay on the coarse bucket_size grid: a uniform
+    # fine-grid S (fills cluster ±1 %, so one shape could serve every
+    # bucket at ~2 % pad) measured a 5 % REGRESSION at 2^30 (168.6 ->
+    # 160.0 MB/s, 2026-08-19): sort cost steps at powers of two, and
+    # the uniform shape pushed the half of the buckets whose fill lands
+    # at or under 2^23 out of the cheap 2^23-network class. The lever
+    # that works is planning max fill UNDER the power of two
+    # (SA_TARGET_BUCKET), not evening out the pad.
     live = [b for b in range(NB) if fills[b]]
     S_of = {b: bucket_size(int(fills[b])) for b in live}
     if live and max(S_of.values()) > pass_cap:

@@ -48,8 +48,9 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec
 
 from hpc_suffix_array_tpu.core.bigsort import (
-    PAD_KEY, RESIDUE_SLOTS, _resolve_residue_host, byte_ranges,
-    codes_from_bytes, estimate_repeat_len, residue_feasible)
+    PAD_KEY, RESIDUE_SLOTS, _clamp_lcp, _resolve_residue_host,
+    byte_ranges, codes_from_bytes, estimate_repeat_len, packing_mode,
+    residue_feasible)
 from hpc_suffix_array_tpu.core.suffix_array import (
     alphabet_remap, as_byte_array, bucket_size)
 from hpc_suffix_array_tpu.parallel.bitonic import block_bitonic_sort
@@ -102,7 +103,7 @@ def _key_lcp(prev_words, sorted_words, spw: int, bits: int, nw: int):
 
 
 def _local_build(P: int, bits: int, spw: int, R: int, ranges, nw: int,
-                 text_u8, vals, n_real, desc):
+                 minpad: bool, text_u8, vals, n_real, desc):
     """shard_map body: pack carried keys, one global sort, flags + residue.
 
     Returns (s_idx[m], lcp[m], slots[R], res_idx[R], stats[6]) per shard;
@@ -122,7 +123,7 @@ def _local_build(P: int, bits: int, spw: int, R: int, ranges, nw: int,
     g = me * m + lax.iota(jnp.int32, m)
 
     codes = codes_from_bytes(text_u8, vals, ranges)
-    codes = jnp.where(g < n_real, codes, 0)
+    codes = jnp.where(g < n_real, codes - (1 if minpad else 0), 0)
     halo = lax.ppermute(codes[:nw * spw], SEQ_AXIS,
                         [(i, i - 1) for i in range(1, P)])
     ext = jnp.concatenate([codes, halo])             # m + nw*spw codes
@@ -184,7 +185,8 @@ def _local_build(P: int, bits: int, spw: int, R: int, ranges, nw: int,
 
 
 def _local_build_wide(P: int, bits: int, spw: int, R: int, ranges,
-                      nw: int, text_u8, vals, n_hi, n_lo, desc):
+                      nw: int, minpad: bool, text_u8, vals, n_hi, n_lo,
+                      desc):
     """``_local_build`` with TWO-WORD global indices: the >=4 GiB path.
 
     Global suffix index g = hi * m + lo (hi = shard id, lo = local
@@ -211,7 +213,7 @@ def _local_build_wide(P: int, bits: int, spw: int, R: int, ranges,
         return (hi < n_hi) | ((hi == n_hi) & (lo_ < n_lo))
 
     codes = codes_from_bytes(text_u8, vals, ranges)
-    codes = jnp.where(lt_n(me, lo), codes, 0)
+    codes = jnp.where(lt_n(me, lo), codes - (1 if minpad else 0), 0)
     halo = lax.ppermute(codes[:nw * spw], SEQ_AXIS,
                         [(i, i - 1) for i in range(1, P)])
     ext = jnp.concatenate([codes, halo])
@@ -288,13 +290,14 @@ def _local_build_wide(P: int, bits: int, spw: int, R: int, ranges,
 
 
 @functools.cache
-def _kernels(mesh: Mesh, bits: int, spw: int, ranges, nw: int = 2):
+def _kernels(mesh: Mesh, bits: int, spw: int, ranges, nw: int = 2,
+             minpad: bool = False):
     P = int(mesh.devices.size)
     spec = PartitionSpec(SEQ_AXIS)
     rep = PartitionSpec()
     f = jax.shard_map(
         functools.partial(_local_build, P, bits, spw, RESIDUE_SLOTS,
-                          ranges, nw),
+                          ranges, nw, minpad),
         mesh=mesh,
         in_specs=(spec, rep, rep, rep),
         out_specs=(spec, spec, spec, spec, spec),
@@ -303,18 +306,54 @@ def _kernels(mesh: Mesh, bits: int, spw: int, ranges, nw: int = 2):
 
 
 @functools.cache
-def _kernels_wide(mesh: Mesh, bits: int, spw: int, ranges, nw: int = 2):
+def _kernels_wide(mesh: Mesh, bits: int, spw: int, ranges, nw: int = 2,
+                  minpad: bool = False):
     P = int(mesh.devices.size)
     spec = PartitionSpec(SEQ_AXIS)
     rep = PartitionSpec()
     f = jax.shard_map(
         functools.partial(_local_build_wide, P, bits, spw, RESIDUE_SLOTS,
-                          ranges, nw),
+                          ranges, nw, minpad),
         mesh=mesh,
         in_specs=(spec, rep, rep, rep, rep),
         out_specs=(spec,) * 8,
         check_vma=False)
     return jax.jit(f)
+
+
+@functools.cache
+def _clamp_kernel_wide(mesh: Mesh):
+    """Two-word shorter-suffix-length clamp over the assembled sharded
+    (sa, lcp) column pairs — the wide counterpart of core ``_clamp_lcp``
+    (see its docstring for why minpad packing needs this and why it must
+    run AFTER the residue patch). g = hi * m + lo; all compares and the
+    n - max(prev_g, g) subtraction are exact two-word base-m arithmetic.
+    Global row 0's manufactured zero predecessor loses the max() against
+    any real g, so lcp[0] = 0 is preserved; pad rows (g = n) clamp to 0,
+    which they already are."""
+    P = int(mesh.devices.size)
+    spec = PartitionSpec(SEQ_AXIS)
+    rep = PartitionSpec()
+
+    def body(s_hi, s_lo, lcp_hi, lcp_lo, n_hi, n_lo):
+        m = s_hi.shape[0]
+        bprev = _boundary_prev((s_hi, s_lo), SEQ_AXIS, P)
+        p_hi = jnp.concatenate([bprev[0][None], s_hi[:-1]])
+        p_lo = jnp.concatenate([bprev[1][None], s_lo[:-1]])
+        use_prev = (p_hi > s_hi) | ((p_hi == s_hi) & (p_lo > s_lo))
+        m_hi = jnp.where(use_prev, p_hi, s_hi)
+        m_lo = jnp.where(use_prev, p_lo, s_lo)
+        borrow = (n_lo < m_lo).astype(jnp.int32)
+        len_lo = n_lo - m_lo + borrow * m
+        len_hi = n_hi - m_hi - borrow
+        use_len = (len_hi < lcp_hi) | ((len_hi == lcp_hi)
+                                       & (len_lo < lcp_lo))
+        return (jnp.where(use_len, len_hi, lcp_hi),
+                jnp.where(use_len, len_lo, lcp_lo))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec, spec, rep, rep),
+        out_specs=(spec, spec), check_vma=False))
 
 
 @functools.cache
@@ -378,7 +417,8 @@ def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
     if n < 8:
         raise ValueError("sharded bigsort needs n >= 8; use the doubling "
                          "builder")
-    remap, bits, spw = alphabet_remap(arr)
+    remap, _, _ = alphabet_remap(arr)
+    bits, spw, minpad = packing_mode(remap)
     ranges = byte_ranges(remap)
     est_repeat = estimate_repeat_len(arr)
     # Carried word count: 2, or 3 when the 2-word expected residue
@@ -400,14 +440,14 @@ def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
         wide_index = n_pad >= (1 << 31) - 1
     if wide_index:
         return _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw,
-                           ranges, nw, chain, force_chain_mode, want_lcp,
-                           device_columns)
+                           minpad, ranges, nw, chain, force_chain_mode,
+                           want_lcp, device_columns)
     text_pad = np.zeros(n_pad, np.uint8)
     text_pad[:n] = arr
     text_d = jax.device_put(text_pad, sequence_sharding(mesh))
     vals_d = jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8))
 
-    kern = _kernels(mesh, bits, spw, ranges, nw)
+    kern = _kernels(mesh, bits, spw, ranges, nw, minpad)
     s_idx, lcp_d, slots, res_idx, stats = kern(
         text_d, vals_d, jnp.int32(n), jnp.bool_(chain))
     st = np.asarray(jax.device_get(stats)).reshape(P, 6)
@@ -429,11 +469,25 @@ def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
             # this API; a multi-host deployment would psum a shifted
             # compare via dist_gather instead).
             if d and np.any(arr[:-d] != arr[d:]):
+                if force_chain_mode is None and tie_cnt <= n // 4:
+                    # Uniform deltas that are NOT a global period (e.g.
+                    # a min-symbol tail run under minpad packing, or one
+                    # long repeated block): ascending + host residue
+                    # handles the bounded ties; chain mode was a
+                    # misprediction (mirrors core execute_big).
+                    return build_suffix_array_sharded_big(
+                        arr, mesh, force_chain_mode=False,
+                        want_lcp=want_lcp)
                 raise NotImplementedError(
                     f"sharded bigsort: chain delta {d} is not a global "
                     "period - use the doubling builder")
         sa = s_idx[:n]
-        return (sa, lcp_d[:n]) if want_lcp else sa
+        if want_lcp:
+            lcp = lcp_d[:n]
+            if minpad:
+                lcp = _clamp_lcp(sa, lcp, jnp.int32(n))
+            return sa, lcp
+        return sa
 
     if tie_cnt > n // 4 and force_chain_mode is None:
         return build_suffix_array_sharded_big(arr, mesh,
@@ -461,6 +515,8 @@ def build_suffix_array_sharded_big(text, mesh: Mesh | None = None,
                 ok_l = ls < n
                 lcp = lcp.at[jnp.asarray(ls[ok_l].astype(np.int32))].set(
                     jnp.asarray(lv[ok_l].astype(np.int32)))
+    if want_lcp and minpad:
+        lcp = _clamp_lcp(sa, lcp, jnp.int32(n))
     return (sa, lcp) if want_lcp else sa
 
 
@@ -479,8 +535,8 @@ def _group_patches(slots_g, vals, P: int, m: int, R: int):
     return out_s, out_v
 
 
-def _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw, ranges, nw,
-                chain, force_chain_mode, want_lcp, device_columns):
+def _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw, minpad, ranges,
+                nw, chain, force_chain_mode, want_lcp, device_columns):
     """Wide-index (two-word) sharded build.
 
     ``device_columns=False`` (default): host int64[n] arrays (sa, and
@@ -497,7 +553,7 @@ def _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw, ranges, nw,
     text_d = jax.device_put(text_pad, sequence_sharding(mesh))
     vals_d = jnp.asarray(np.flatnonzero(remap > 0).astype(np.uint8))
 
-    kern = _kernels_wide(mesh, bits, spw, ranges, nw)
+    kern = _kernels_wide(mesh, bits, spw, ranges, nw, minpad)
     s_hi, s_lo, lcp_hi, lcp_lo, slot_lo, res_hi, res_lo, stats = kern(
         text_d, vals_d, jnp.int32(n // m), jnp.int32(n % m),
         jnp.bool_(chain))
@@ -507,8 +563,15 @@ def _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw, ranges, nw,
 
     def materialize():
         if device_columns:
+            cols_l = (lcp_hi, lcp_lo)
+            if want_lcp and minpad:
+                # Final two-word length clamp over the (possibly
+                # patched) columns — see _clamp_kernel_wide.
+                cols_l = _clamp_kernel_wide(mesh)(
+                    s_hi, s_lo, lcp_hi, lcp_lo, jnp.int32(n // m),
+                    jnp.int32(n % m))
             sa_cols = (s_hi, s_lo)
-            return ((sa_cols, (lcp_hi, lcp_lo)) if want_lcp else sa_cols)
+            return ((sa_cols, cols_l) if want_lcp else sa_cols)
         sa = (np.asarray(jax.device_get(s_hi)).astype(np.int64) * m
               + np.asarray(jax.device_get(s_lo)))[:n]
         if not want_lcp:
@@ -516,6 +579,19 @@ def _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw, ranges, nw,
         lcp = (np.asarray(jax.device_get(lcp_hi)).astype(np.int64) * m
                + np.asarray(jax.device_get(lcp_lo)))[:n]
         return sa, lcp
+
+    def np_clamp(sa, lcp):
+        """Host counterpart of the final minpad length clamp (applied
+        AFTER any numpy residue patch — see core _clamp_lcp)."""
+        prev = np.concatenate([sa[:1], sa[:-1]])
+        return np.minimum(lcp, n - np.maximum(prev, sa))
+
+    def finish():
+        out = materialize()
+        if not (want_lcp and minpad) or device_columns:
+            return out
+        sa, lcp = out
+        return sa, np_clamp(sa, lcp)
 
     if chain:
         if tie_cnt:
@@ -532,10 +608,16 @@ def _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw, ranges, nw,
                     "uniform arithmetic chains - use the doubling "
                     "builder")
             if np.any(arr[:-d] != arr[d:]):
+                if force_chain_mode is None and tie_cnt <= n // 4:
+                    # Misprediction fallback — see the narrow branch.
+                    return build_suffix_array_sharded_big(
+                        arr, mesh, force_chain_mode=False,
+                        wide_index=True, want_lcp=want_lcp,
+                        device_columns=device_columns)
                 raise NotImplementedError(
                     f"sharded bigsort[wide]: chain delta {d} is not a "
                     "global period - use the doubling builder")
-        return materialize()
+        return finish()
 
     if tie_cnt > n // 4 and force_chain_mode is None:
         return build_suffix_array_sharded_big(
@@ -584,5 +666,7 @@ def _build_wide(arr, mesh, P, n, n_pad, remap, bits, spw, ranges, nw,
                 if want_lcp and len(ls):
                     ok_l = ls < n
                     lcp[ls[ok_l]] = lv[ok_l]
+                if want_lcp and minpad:
+                    lcp = np_clamp(sa, lcp)
                 return (sa, lcp) if want_lcp else sa
-    return materialize()
+    return finish()

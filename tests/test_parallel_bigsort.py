@@ -271,3 +271,72 @@ def test_wide_device_columns_with_residue(mesh8, rng):
     want = np.asarray(suffix_array_oracle(text.tobytes())).astype(np.int64)
     assert np.array_equal(sa, want)
     assert np.array_equal(lcp, np.asarray(lcp_oracle(text, want)))
+
+
+def test_minpad_dna_lcp_min_tail(mesh8, rng):
+    """DNA rides min-pad packing (2-bit codes, 30 carried symbols) in
+    the sharded kernels; a minimum-symbol tail run forces pad-induced
+    window ties AND the final shorter-suffix-length clamp (narrow
+    _clamp_lcp and the wide two-word _clamp_kernel_wide)."""
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    dna = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 8 * 2048)]
+    dna[-40:] = ord("A")
+    want = np.asarray(suffix_array_oracle(dna.tobytes()))
+    want_l = np.asarray(lcp_oracle(dna, want))
+    sa, lcp = build_suffix_array_sharded_big(dna, mesh8, want_lcp=True)
+    assert np.array_equal(np.asarray(sa), want)
+    assert np.array_equal(np.asarray(lcp), want_l)
+    # Wide host mode (numpy clamp path).
+    sa, lcp = build_suffix_array_sharded_big(
+        dna, mesh8, wide_index=True, want_lcp=True)
+    assert np.array_equal(sa, want)
+    assert np.array_equal(lcp, want_l)
+    # Wide device-columns mode (two-word clamp kernel).
+    import jax
+
+    n = len(dna)
+    (sh, sl), (lh, ll) = build_suffix_array_sharded_big(
+        dna, mesh8, wide_index=True, want_lcp=True, device_columns=True)
+    m = sh.shape[0] // 8
+    sa_d = (np.asarray(jax.device_get(sh)).astype(np.int64) * m
+            + np.asarray(jax.device_get(sl)))[:n]
+    lcp_d = (np.asarray(jax.device_get(lh)).astype(np.int64) * m
+             + np.asarray(jax.device_get(ll)))[:n]
+    assert np.array_equal(sa_d, want)
+    assert np.array_equal(lcp_d, want_l)
+
+
+def test_minpad_dna_stays_two_words(mesh8, rng):
+    """Under min-pad packing DNA's 2-word window is 30 symbols — the
+    third carried word must no longer be selected at any feasible n."""
+    import hpc_suffix_array_tpu.parallel.bigsort as pb
+
+    seen = {}
+    orig = pb._kernels
+
+    def spy(mesh, bits, spw, ranges, nw=2, minpad=False):
+        seen.update(bits=bits, spw=spw, nw=nw, minpad=minpad)
+        return orig(mesh, bits, spw, ranges, nw, minpad)
+
+    pb_kernels, pb._kernels = pb._kernels, spy
+    try:
+        dna = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4,
+                                                            8 * 1024)]
+        _check(dna, mesh8)
+    finally:
+        pb._kernels = pb_kernels
+    assert seen == dict(bits=2, spw=15, nw=2, minpad=True)
+
+
+def test_minpad_binary_periodic_chain(mesh8):
+    """Binary periodic text: 1-bit min-pad codes + chain mode + the
+    narrow clamp on the chain return path."""
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    text = np.tile(np.frombuffer(b"0110100110010110", np.uint8), 1024)
+    want = np.asarray(suffix_array_oracle(text.tobytes()))
+    sa, lcp = build_suffix_array_sharded_big(text, mesh8, want_lcp=True)
+    assert np.array_equal(np.asarray(sa), want)
+    assert np.array_equal(np.asarray(lcp), np.asarray(lcp_oracle(text,
+                                                                 want)))
