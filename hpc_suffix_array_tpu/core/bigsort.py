@@ -898,8 +898,11 @@ def _resolve_residue_host(arr: np.ndarray, slots: np.ndarray,
     group-INTERNAL adjacent pair — exactly the tied pairs, whose
     carried-key lcp is only the 2*spw lower bound. Group-boundary pairs
     need no patch: all members share identical key words, so the
-    key-derived lcp of the pair at the group's edge is exact and
-    invariant under the reordering.
+    key-derived lcp of the pair at the group's edge is invariant under
+    the reordering — exact under reserved-0 packing; under minpad
+    packing it may overshoot the shorter suffix's length and is made
+    exact only by the final _clamp_lcp pass, which every build path
+    applies AFTER this patch (do not remove or reorder that clamp).
 
     Vectorized: one RESIDUE_WIN-byte window fetch per member (past-end
     as -1, so a shorter suffix that is a prefix orders first — the
@@ -1319,11 +1322,23 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
     return (sa, lcp) if want_lcp else sa
 
 
-def build_suffix_array_big(text, **kw) -> jnp.ndarray:
-    """One-call build (see prepare_big/execute_big for the staged form)."""
+def build_suffix_array_big(text, info: dict | None = None,
+                           **kw) -> jnp.ndarray:
+    """One-call build (see prepare_big/execute_big for the staged form).
+
+    ``info``: optional dict the plan's meta is copied into after the
+    build (rerun honesty keys, chain_mode, n_patched, ...) — the
+    one-call API's window into what the staged form exposes as
+    ``state["plan"].meta``."""
     exec_kw = {k: kw.pop(k)
                for k in ("max_bucket_elems", "want_lcp") if k in kw}
-    return execute_big(prepare_big(text, **kw), **exec_kw)
+    state = prepare_big(text, **kw)
+    out = execute_big(state, **exec_kw)
+    if info is not None:
+        info.update({k: v for k, v in state["plan"].meta.items()
+                     if k in ("rerun", "chain_mode", "n_patched",
+                              "periods")})
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1426,9 +1441,10 @@ def residue_feasible(arr: np.ndarray, n: int, cap: float,
     word shrinks the prediction by sigma^spw — the small-alphabet fix,
     see _direct_sort3). Uniformity assumption: skewed real texts that
     slip past it raise NotImplementedError downstream and the caller
-    falls back. ``spw`` defaults to the caller-agnostic packing_mode
-    density; callers packing differently (the sharded reserved-0 path)
-    pass their own."""
+    falls back. ``spw`` defaults to the packing_mode density for the
+    text's alphabet; the parameter exists so callers that already
+    computed their packing geometry can pass it and skip the rescan
+    (every carried-keys builder packs via packing_mode today)."""
     remap, _, _ = alphabet_remap(arr)
     sigma = max(int(remap.max()), 2)
     if spw is None:
@@ -1610,8 +1626,18 @@ def execute_direct(state, *, force_chain_mode: bool | None = None,
     return (sa, lcp) if want_lcp else sa
 
 
-def build_suffix_array_direct(text, **kw):
-    """One-call direct build (see prepare_direct/execute_direct)."""
+def build_suffix_array_direct(text, info: dict | None = None, **kw):
+    """One-call direct build (see prepare_direct/execute_direct).
+
+    ``info``: optional dict the build meta is copied into (rerun
+    honesty keys, chain_mode, n_patched — see build_suffix_array_big).
+    """
     exec_kw = {k: kw.pop(k)
                for k in ("force_chain_mode", "want_lcp") if k in kw}
-    return execute_direct(prepare_direct(text, **kw), **exec_kw)
+    state = prepare_direct(text, **kw)
+    out = execute_direct(state, **exec_kw)
+    if info is not None:
+        info.update({k: v for k, v in state["meta"].items()
+                     if k in ("rerun", "chain_mode", "n_patched",
+                              "periods")})
+    return out

@@ -159,20 +159,32 @@ def lcp_from_plcp(plcp: jnp.ndarray, sa: jnp.ndarray):
     return lcp.at[0].set(0) if n else lcp
 
 
-def _sa_lcp_big(text, n: int):
+def _sa_lcp_big(text, n: int, text_dev=None):
     """(sa, lcp) via the carried-keys machinery, or None when the text is
-    too degenerate for it (the window paths handle those)."""
+    too degenerate for it (the window paths handle those).
+
+    ``text_dev``: optional pre-staged device copy of the text (same
+    bytes, zero-padded); forwarded to whichever builder's padded
+    geometry it matches, skipping the host->device stage (bench/twin
+    corpora — the tunnel staging quirk, README 'Benchmarking notes')."""
     from hpc_suffix_array_tpu.core.bigsort import (
-        build_suffix_array_big, build_suffix_array_direct, direct_feasible)
+        build_suffix_array_big, build_suffix_array_direct, chunk_geometry,
+        direct_feasible)
+    from hpc_suffix_array_tpu.core.suffix_array import bucket_size
 
     host = np.asarray(as_byte_array(text))   # host copy for planning
     if direct_feasible(host, n):
+        dev = (text_dev if text_dev is not None
+               and tuple(text_dev.shape) == (bucket_size(n),) else None)
         try:
-            return build_suffix_array_direct(host, want_lcp=True)
+            return build_suffix_array_direct(host, want_lcp=True,
+                                             text_dev=dev)
         except NotImplementedError:
             pass
+    dev = (text_dev if text_dev is not None
+           and tuple(text_dev.shape) == (chunk_geometry(n)[2],) else None)
     try:
-        return build_suffix_array_big(host, want_lcp=True)
+        return build_suffix_array_big(host, want_lcp=True, text_dev=dev)
     except NotImplementedError:
         return None
 
@@ -201,7 +213,7 @@ def build_sa_lcp(text) -> tuple[jnp.ndarray, jnp.ndarray]:
     return sa, build_lcp_array(arr, sa)
 
 
-def build_lcp_array(text, sa) -> jnp.ndarray:
+def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
     """LCP array: lcp[j] = LCP(suffix sa[j-1], suffix sa[j]); lcp[0] = 0.
 
     Texts beyond SA_LCP_WINDOW_MIN bytes (default 4 MiB) use the chunked
@@ -228,6 +240,9 @@ def build_lcp_array(text, sa) -> jnp.ndarray:
     assumes a correct SA (src/sequential/manber_myers.c:135) but walks
     it blindly; see also ``build_sa_lcp`` for the fused build that
     needs no precomputed SA.
+
+    ``text_dev``: optional pre-staged device copy of the text for the
+    big route (must hold the same bytes; see _sa_lcp_big).
     """
     import os
 
@@ -239,7 +254,7 @@ def build_lcp_array(text, sa) -> jnp.ndarray:
     if sa.shape[0] != n:
         raise ValueError(f"sa length {sa.shape[0]} != text length {n}")
     if n > int(os.environ.get("SA_LCP_BIG_MIN", 1 << 23)):
-        derived = _sa_lcp_big(text, n)
+        derived = _sa_lcp_big(text, n, text_dev=text_dev)
         if derived is not None:
             _sa, lcp = derived
             if not bool(jax.device_get(jnp.all(_sa == sa))):

@@ -227,8 +227,13 @@ def bucket_size(n: int, multiple_of: int = 1) -> int:
     return -(-n // step) * step
 
 
-def build_suffix_array(text) -> jnp.ndarray:
+def build_suffix_array(text, info: dict | None = None) -> jnp.ndarray:
     """Build the suffix array of ``text`` (bytes, str, or uint8 array).
+
+    ``info``: optional dict build metadata is copied into — ``path``
+    (which builder ran) and, for the carried-keys paths, the ``rerun``
+    honesty key when a misprediction re-executed the build (the CLI
+    surfaces it as RERUN in STRUCTURED_RESULTS).
 
     The text is padded at the end with a sub-byte sentinel rank to a bucketed
     length: every pad suffix is a strict prefix-of-pads string that ranks
@@ -271,10 +276,16 @@ def build_suffix_array(text) -> jnp.ndarray:
         try:
             if direct_feasible(arr, n):
                 try:                    # ONE sort when the triple fits
-                    return build_suffix_array_direct(arr)
+                    out = build_suffix_array_direct(arr, info=info)
+                    if info is not None:
+                        info["path"] = "direct"
+                    return out
                 except NotImplementedError:
                     pass                # residue overflow: MSD's caps scale
-            return build_suffix_array_big(arr)
+            out = build_suffix_array_big(arr, info=info)
+            if info is not None:
+                info["path"] = "msd"
+            return out
         except NotImplementedError:
             if n > 1 << 28:       # no doubling fallback fits HBM there
                 raise             # (the sharded builder handles these)
@@ -287,10 +298,16 @@ def build_suffix_array(text) -> jnp.ndarray:
             try:
                 if direct_feasible(arr, n, est_repeat=est):
                     try:
-                        return build_suffix_array_direct(arr)
+                        out = build_suffix_array_direct(arr, info=info)
+                        if info is not None:
+                            info["path"] = "direct"
+                        return out
                     except NotImplementedError:
                         pass
-                return build_suffix_array_big(arr)
+                out = build_suffix_array_big(arr, info=info)
+                if info is not None:
+                    info["path"] = "msd"
+                return out
             except NotImplementedError:
                 pass                            # irregular repeats: doubling
     n_pad = bucket_size(n)
@@ -300,6 +317,8 @@ def build_suffix_array(text) -> jnp.ndarray:
     remap, bits, h0 = alphabet_remap(arr)
     sa, _rank, _rounds = suffix_array_from_bytes_kernel(
         text_pad, jnp.asarray(remap), bits, h0, jnp.int32(n))
+    if info is not None:
+        info["path"] = "doubling"
     return sa[n_pad - n:]
 
 

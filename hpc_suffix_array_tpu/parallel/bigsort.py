@@ -65,8 +65,12 @@ def _boundary_prev(cols, axis_name: str, n_shards: int):
     """Each shard's view of its left neighbor's LAST sorted record.
 
     ``cols`` is a tuple of int32[m] sorted columns; returns a tuple of
-    scalars (shard 0 receives zeros — harmless: no real k0 is 0, so the
-    manufactured 'previous record' never compares equal)."""
+    scalars. Shard 0 receives zeros — NOT always distinguishable from a
+    real record: under minpad packing an all-min-symbol suffix
+    legitimately packs to key 0, so shard 0's manufactured zero packet
+    CAN compare equal to its first real row. Callers must mask the
+    first global row themselves (both _local_build and _local_build_wide
+    do, via ``gpos > 0`` / ``~first_global``)."""
     packet = jnp.stack([c[-1] for c in cols])
     perm = [(i, i + 1) for i in range(n_shards - 1)]
     got = lax.ppermute(packet, axis_name, perm)

@@ -32,6 +32,24 @@ def test_bench_json_line():
     assert rec["unit"] == "MB/s/chip"
 
 
+def test_bench_oom_match_is_narrow():
+    """Only genuine allocator exhaustion triggers the size-halving
+    fallback; a non-OOM error that merely mentions memory re-raises
+    (r3 weak #5)."""
+    sys.path.insert(0, str(REPO))
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    assert bench._is_oom(MemoryError("host"))
+    assert bench._is_oom(RuntimeError(
+        "RESOURCE_EXHAUSTED: Out of memory while trying to allocate"))
+    assert bench._is_oom(ValueError("Out of memory allocating 8 GiB"))
+    assert not bench._is_oom(ValueError("bad memory layout for operand"))
+    assert not bench._is_oom(RuntimeError("Allocation tracker mismatch"))
+    assert not bench._is_oom(RuntimeError("OOM score adjusted"))
+
+
 def test_bench_secondary_metrics_stderr():
     """The secondary corpus classes (DNA / periodic) emit one JSON line
     each on STDERR (the driver consumes stdout only), with the routing

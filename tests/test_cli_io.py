@@ -59,6 +59,27 @@ def test_cli_combined_sa_lcp_route(monkeypatch, capsys):
     assert res["lrs_length"] >= 300
 
 
+def test_cli_rerun_key(monkeypatch, capsys):
+    """A build misprediction that re-executes the passes surfaces as a
+    RERUN key in BOTH structured dialects (r3 weak #4): the CLI user of
+    a mispredicted build sees that the reported time includes a re-run."""
+    monkeypatch.setenv("SA_LCP_BIG_MIN", "10000")
+    monkeypatch.setenv("SA_BIG_THRESHOLD", "10000")
+    monkeypatch.setenv("SA_DIRECT_MAX", "4096")     # force the MSD route
+    # Negative margin shrinks every count-free capacity below the true
+    # fills: the overflow guard fires and the build re-runs exact.
+    monkeypatch.setenv("SA_CF_MARGIN", "-0.5")
+    rng = np.random.default_rng(5)
+    text = rng.integers(0, 62, 30_000).astype(np.uint8) + ord("0")
+    buf = io.StringIO()
+    res = run(text, "synthetic", backend="single", n_devices=None,
+              validate=True, dialect="both", out=buf)
+    out = buf.getvalue()
+    assert "Valid suffix array: YES" in out
+    assert "count_free_overflow" in res.get("rerun", "")
+    assert out.count("RERUN:count_free_overflow") == 2   # both dialects
+
+
 def test_cli_file_and_mpi_dialect(tmp_path, capsys):
     p = tmp_path / "mississippi.txt"
     p.write_bytes(b"mississippi")
