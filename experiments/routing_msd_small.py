@@ -8,9 +8,12 @@ cheap-class sorts. This measures execute_big at sizes the router
 currently sends to the direct path (143-164 MB/s measured r3).
 
 Run on the real chip: python experiments/routing_msd_small.py [log2 ...]
+Corpus via env SA_RD_CORPUS=alnum|dna|p1000 (default alnum) — same knob
+as routing_direct.py, twin-generated (no tunnel staging).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -26,14 +29,22 @@ def main() -> None:
 
     from hpc_suffix_array_tpu.core.bigsort import (
         chunk_geometry, execute_big, prepare_big, replan_edges)
-    from hpc_suffix_array_tpu.utils.twin import twin_corpus
+    from hpc_suffix_array_tpu.utils.twin import twin_corpus, twin_periodic
 
+    corpus = os.environ.get("SA_RD_CORPUS", "alnum")
     chunk = 7 << 20
     sizes = [1 << int(a) for a in sys.argv[1:]] or [1 << lg
                                                     for lg in (24, 26, 28)]
     for n in sizes:
         _, _, pad_len = chunk_geometry(n, chunk)
-        text, text_dev = twin_corpus(n, pad_len)
+        if corpus == "p1000":
+            alnum = np.frombuffer(
+                b"abcdefghijklmnopqrstuvwxyz"
+                b"ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789", np.uint8)
+            pat = alnum[np.random.default_rng(0xD1).integers(0, 62, 1000)]
+            text, text_dev = twin_periodic(pat, n, pad_len)
+        else:
+            text, text_dev = twin_corpus(n, pad_len, alphabet=corpus)
         state = prepare_big(text, chunk_elems=chunk, text_dev=text_dev)
         sa = execute_big(dict(state))                   # warmup/compile
         jax.device_get(sa[-1])
@@ -48,7 +59,7 @@ def main() -> None:
             del sa
         meta = state["plan"].meta
         print(json.dumps({
-            "path": "msd", "log2_n": int(np.log2(n)),
+            "path": "msd", "corpus": corpus, "log2_n": int(np.log2(n)),
             "mb_s": round(n / best / 1e6, 1),
             "n_buckets": meta.get("n_buckets_run"),
             "phases": meta.get("phase_host_s")}), flush=True)

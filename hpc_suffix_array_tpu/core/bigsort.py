@@ -888,7 +888,44 @@ def _suffix_lcp(arr: np.ndarray, a: int, b: int, n: int,
 RESIDUE_WIN = 64     # bytes compared vectorized before the exact fallback
 
 
-def _resolve_residue_host(arr: np.ndarray, slots: np.ndarray,
+class ResidueDepthError(Exception):
+    """A residue tie is undecided within a bounded-window text view.
+
+    Raised only by views that cannot read the whole text (the
+    multi-process _GatheredView in parallel/bigsort.py); callers fall
+    back to the doubling builder, which resolves any tie depth."""
+
+
+class _ArrView:
+    """Whole-text accessor for residue resolution (single process).
+
+    The view contract (shared with parallel/bigsort._GatheredView):
+      fetch(idxs, K) -> int16[len(idxs), K] suffix windows, -1 past the
+        end of the text (so a shorter suffix that is a prefix orders
+        first — the strcmp semantics of the reference,
+        manber_myers.c:195);
+      suffix_less(a, b) / suffix_lcp(a, b): exact order / lcp for the
+        rare pairs equal through the whole RESIDUE_WIN window.
+    """
+
+    def __init__(self, arr: np.ndarray, n: int):
+        self.arr, self.n = arr, n
+
+    def fetch(self, idxs: np.ndarray, K: int) -> np.ndarray:
+        pos = idxs.astype(np.int64)[:, None] + np.arange(K, dtype=np.int64)
+        return np.where(pos < self.n,
+                        self.arr[np.minimum(pos, self.n - 1)
+                                 ].astype(np.int16),
+                        np.int16(-1))
+
+    def suffix_less(self, a: int, b: int) -> bool:
+        return _suffix_less(self.arr, a, b, self.n)
+
+    def suffix_lcp(self, a: int, b: int) -> int:
+        return _suffix_lcp(self.arr, a, b, self.n)
+
+
+def _resolve_residue_host(arr, slots: np.ndarray,
                           idxs: np.ndarray, n: int, want_lcp: bool = False):
     """Exact order for one bucket's tied elements (host comparison).
 
@@ -909,7 +946,13 @@ def _resolve_residue_host(arr: np.ndarray, slots: np.ndarray,
     strcmp semantics of the reference, manber_myers.c:195), np.lexsort
     within groups, and a bounded exact-comparison fallback for the rare
     pairs equal through the whole window (a per-pair Python loop here
-    measured ~1.5 s on 65k tied pairs, DNA 2^28)."""
+    measured ~1.5 s on 65k tied pairs, DNA 2^28).
+
+    ``arr`` is either the host text (np.uint8[n]) or a text VIEW
+    implementing the _ArrView contract — the multi-process build passes
+    a view backed by device window gathers, so no process ever needs
+    the whole text."""
+    view = arr if hasattr(arr, "fetch") else _ArrView(arr, n)
     order = np.argsort(slots, kind="stable")
     slots, idxs = slots[order], idxs[order]
     P = len(slots)
@@ -918,10 +961,8 @@ def _resolve_residue_host(arr: np.ndarray, slots: np.ndarray,
     gid = np.cumsum(np.r_[np.int64(0),
                           (np.diff(slots) != 1).astype(np.int64)])
     K = RESIDUE_WIN
-    pos = idxs.astype(np.int64)[:, None] + np.arange(K, dtype=np.int64)
-    valid = pos < n
-    win = np.where(valid, arr[np.minimum(pos, n - 1)].astype(np.int16),
-                   np.int16(-1))
+    win = view.fetch(idxs, K)
+    valid = win >= 0
     # lexsort: last key is primary -> (gid, win[:,0], ..., win[:,K-1]).
     o2 = np.lexsort([win[:, k] for k in range(K - 1, -1, -1)] + [gid])
     out = idxs[o2]
@@ -934,18 +975,23 @@ def _resolve_residue_host(arr: np.ndarray, slots: np.ndarray,
     if undecided.any():
         run_edges = np.flatnonzero(np.diff(
             np.r_[False, undecided, False].astype(np.int8)))
+        if hasattr(view, "prefetch"):
+            # Window-backed views batch ONE deep gather for all
+            # undecided members instead of a device call per compare.
+            members = sorted({int(out[j])
+                              for lo, hi in zip(run_edges[::2],
+                                                run_edges[1::2])
+                              for j in range(lo, hi + 1)})
+            view.prefetch(members)
         for lo, hi in zip(run_edges[::2], run_edges[1::2]):
             seg = out[lo:hi + 1].tolist()      # undecided run + its tail
             seg.sort(key=functools.cmp_to_key(
-                lambda a, b: -1 if _suffix_less(arr, a, b, n) else 1))
+                lambda a, b: -1 if view.suffix_less(a, b) else 1))
             out[lo:hi + 1] = seg
     if not want_lcp:
         return slots, out, np.zeros(0, np.int64), np.zeros(0, np.int32)
     # LCP for every group-internal adjacent pair of the FINAL order.
-    pos = out.astype(np.int64)[:, None] + np.arange(K, dtype=np.int64)
-    valid = pos < n
-    win = np.where(valid, arr[np.minimum(pos, n - 1)].astype(np.int16),
-                   np.int16(-1))
+    win = view.fetch(out, K)
     neq = win[1:] != win[:-1]
     has_mm = neq.any(axis=1)
     first_mm = np.argmax(neq, axis=1)
@@ -958,9 +1004,12 @@ def _resolve_residue_host(arr: np.ndarray, slots: np.ndarray,
     lslots = slots[internal + 1].astype(np.int64)
     lvals = lv[internal]
     deep = internal[(~has_mm[internal]) & (shorter[internal] > K)]
+    if len(deep) and hasattr(view, "prefetch"):
+        view.prefetch(sorted({int(out[j]) for j in deep}
+                             | {int(out[j + 1]) for j in deep}))
     for j in deep:
-        lvals[np.searchsorted(internal, j)] = _suffix_lcp(
-            arr, int(out[j]), int(out[j + 1]), n)
+        lvals[np.searchsorted(internal, j)] = view.suffix_lcp(
+            int(out[j]), int(out[j + 1]))
     return slots, out, lslots, lvals.astype(np.int32)
 
 
@@ -1428,6 +1477,22 @@ def _direct_sort3(desc_idx: bool, want_lcp: bool, spw: int, bits: int,
         lcp32 = jnp.zeros((1,), jnp.int32)
     return (s_idx, tie.astype(jnp.int32), jnp.sum(tie.astype(jnp.int32)),
             dmax, delta_ok.astype(jnp.int32), lcp32)
+
+
+def residue_feasible_sigma(sigma: int, n: int, cap: float,
+                           est_repeat: int, words: int = 2,
+                           spw: int | None = None) -> bool:
+    """``residue_feasible`` arithmetic from precomputed inputs — for
+    callers that never hold the text (the multi-process sharded build
+    derives sigma from a device histogram and est_repeat from
+    allgathered local estimates)."""
+    sigma = max(int(sigma), 2)
+    if spw is None:
+        spw = packing_from_sigma(sigma)[1]
+    log_pred = 2 * math.log(n) - words * spw * math.log(sigma)
+    if log_pred < math.log(max(cap, 2.0)):
+        return True
+    return est_repeat > words * spw      # periodic: chain rule, no cap
 
 
 def residue_feasible(arr: np.ndarray, n: int, cap: float,

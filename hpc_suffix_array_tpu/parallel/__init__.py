@@ -14,7 +14,11 @@ from hpc_suffix_array_tpu.parallel.doubling import (
     build_suffix_array_sharded,
     suffix_array_kernel_sharded,
 )
-from hpc_suffix_array_tpu.parallel.bigsort import build_suffix_array_sharded_big
+from hpc_suffix_array_tpu.parallel.bigsort import (
+    build_suffix_array_sharded_big,
+    build_suffix_array_sharded_big_mp,
+    mp_local_geometry,
+)
 from hpc_suffix_array_tpu.parallel.lcp import build_lcp_array_sharded
 from hpc_suffix_array_tpu.parallel.validate import is_valid_suffix_array_sharded
 
@@ -23,6 +27,8 @@ __all__ = [
     "sequence_sharding",
     "build_suffix_array_sharded",
     "build_suffix_array_sharded_big",
+    "build_suffix_array_sharded_big_mp",
+    "mp_local_geometry",
     "suffix_array_kernel_sharded",
     "build_lcp_array_sharded",
     "is_valid_suffix_array_sharded",

@@ -94,6 +94,84 @@ def main() -> int:
 
     print(f"MULTIHOST_OK proc={proc_id} rounds={int(rounds)} "
           f"shards={len(sa.addressable_shards)}", flush=True)
+
+    # ---- One-pass MSD across the same REAL process boundary ----------
+    # (build_suffix_array_sharded_big_mp: device-histogram alphabet,
+    # allgathered repeat estimate, ring-rotation period check,
+    # window-gather residue resolution — no process holds the text.)
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+    from hpc_suffix_array_tpu.parallel.bigsort import (
+        build_suffix_array_sharded_big_mp, mp_local_geometry)
+
+    def local_feed(text, n_pad, start, stop):
+        """What a real deployment would read from its own file block."""
+        pad = np.zeros(n_pad, np.uint8)
+        pad[:len(text)] = text
+        return pad[start:stop]
+
+    def check_shards(col, want, name, scale=None, col_lo=None):
+        """Each process checks only its ADDRESSABLE shards vs oracle."""
+        checked = 0
+        for shard in col.addressable_shards:
+            lo, hi = shard.index[0].start or 0, shard.index[0].stop
+            got = np.asarray(shard.data).astype(np.int64)
+            if scale is not None:       # wide: combine hi/lo columns
+                lo_shard = next(s for s in col_lo.addressable_shards
+                                if (s.index[0].start or 0) == lo)
+                got = got * scale + np.asarray(lo_shard.data)
+            take = min(hi, len(want)) - lo
+            if take <= 0:
+                continue
+            assert np.array_equal(got[:take], want[lo:lo + take]), (
+                f"proc {proc_id} {name} shard [{lo},{hi}) mismatch")
+            checked += take
+        assert checked > 0, f"proc {proc_id} {name}: nothing checked"
+
+    # (a) narrow + LCP: random text with a 100-byte repeated block —
+    # the local estimate mispredicts chain, the device period check
+    # refuses it, the ascending retry resolves residue ties through
+    # distributed window gathers (incl. deep >64-byte windows).
+    alnum = np.frombuffer(
+        b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+        np.uint8)
+    t_a = alnum[rng.integers(0, 62, 8 * 4096)]
+    t_a[2000:2100] = t_a[20000:20100]
+    n_a = len(t_a)
+    n_pad, start, stop = mp_local_geometry(n_a, mesh)
+    sa_pad, lcp_pad = build_suffix_array_sharded_big_mp(
+        local_feed(t_a, n_pad, start, stop), n_a, mesh, want_lcp=True)
+    want_a = np.asarray(suffix_array_oracle(t_a.tobytes()), np.int64)
+    check_shards(sa_pad, want_a, "msd-sa")
+    check_shards(lcp_pad, np.asarray(lcp_oracle(t_a, want_a), np.int64),
+                 "msd-lcp")
+
+    # (b) globally periodic: the device-side period check must ACCEPT
+    # the chain (no host text anywhere).
+    t_b = np.tile(alnum[rng.integers(0, 62, 1000)], 40)[: 8 * 4096]
+    n_b = len(t_b)
+    n_pad, start, stop = mp_local_geometry(n_b, mesh)
+    sa_pad = build_suffix_array_sharded_big_mp(
+        local_feed(t_b, n_pad, start, stop), n_b, mesh)
+    check_shards(sa_pad,
+                 np.asarray(suffix_array_oracle(t_b.tobytes()), np.int64),
+                 "msd-chain")
+
+    # (c) forced wide index + LCP: two-word device columns, residue
+    # patched per shard on device.
+    t_c = alnum[rng.integers(0, 62, 8 * 2048)]
+    t_c[700:780] = t_c[9000:9080]
+    n_c = len(t_c)
+    n_pad, start, stop = mp_local_geometry(n_c, mesh)
+    (s_hi, s_lo), (l_hi, l_lo) = build_suffix_array_sharded_big_mp(
+        local_feed(t_c, n_pad, start, stop), n_c, mesh,
+        wide_index=True, want_lcp=True)
+    m_c = n_pad // n_shards
+    want_c = np.asarray(suffix_array_oracle(t_c.tobytes()), np.int64)
+    check_shards(s_hi, want_c, "msd-wide-sa", scale=m_c, col_lo=s_lo)
+    check_shards(l_hi, np.asarray(lcp_oracle(t_c, want_c), np.int64),
+                 "msd-wide-lcp", scale=m_c, col_lo=l_lo)
+
+    print(f"MULTIHOST_MSD_OK proc={proc_id}", flush=True)
     return 0
 
 

@@ -45,3 +45,4 @@ def test_two_process_distributed_build():
     for i, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"proc {i} rc={rc}\nstderr:\n{err[-2000:]}"
         assert f"MULTIHOST_OK proc={i}" in out, out
+        assert f"MULTIHOST_MSD_OK proc={i}" in out, out

@@ -340,3 +340,121 @@ def test_minpad_binary_periodic_chain(mesh8):
     assert np.array_equal(np.asarray(sa), want)
     assert np.array_equal(np.asarray(lcp), np.asarray(lcp_oracle(text,
                                                                  want)))
+
+
+# --- multi-process entry (_DistText): no process holds the full text ---
+#
+# Single-process instances of the mp API (process_count == 1, the full
+# padded text IS the local block) drive the same device-side components
+# the real 2-process test (tests/test_multihost.py) exercises across a
+# process boundary: histogram-psum alphabet, allgathered repeat
+# estimate, ring-rotation period check, window-gather residue
+# resolution. Outputs are PADDED sharded arrays (rows [0, n) valid).
+
+def _mp_build(text, mesh, **kw):
+    from hpc_suffix_array_tpu.parallel.bigsort import (
+        build_suffix_array_sharded_big_mp, mp_local_geometry)
+
+    n = len(text)
+    n_pad, start, stop = mp_local_geometry(n, mesh)
+    assert (start, stop) == (0, n_pad)        # single process owns all
+    block = np.zeros(n_pad, np.uint8)
+    block[:n] = text
+    return build_suffix_array_sharded_big_mp(block, n, mesh, **kw)
+
+
+def _check_mp(text, mesh, **kw):
+    sa_pad = _mp_build(text, mesh, **kw)
+    n = len(text)
+    sa = np.asarray(sa_pad)
+    assert np.all(sa[n:] == n)                # pad rows hold n
+    assert np.array_equal(sa[:n], suffix_array_oracle(text.tobytes()))
+
+
+def test_mp_random_alnum(mesh8, rng):
+    _check_mp(ALNUM[rng.integers(0, 62, 8 * 4096)], mesh8)
+
+
+def test_mp_dna_minpad(mesh8, rng):
+    _check_mp(np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4,
+                                                            8 * 2048)],
+              mesh8)
+
+
+def test_mp_periodic_chain(mesh8, rng):
+    """Globally periodic text: the device-side period check (ring
+    rotations + halo, _period_kernel) must ACCEPT the chain."""
+    base = ALNUM[rng.integers(0, 62, 1000)]
+    _check_mp(np.tile(base, 40)[: 8 * 4096], mesh8)
+
+
+def test_mp_chain_misprediction_retries(mesh8, rng):
+    """A long repeated block without a global period: the local repeat
+    estimate predicts chain mode, the device period check must REFUSE
+    the delta, and the ascending retry + window-gather residue must
+    still produce the exact SA."""
+    text = ALNUM[rng.integers(0, 62, 8 * 4096)]
+    text[2000:2100] = text[20000:20100]       # 100-byte repeat (> 64)
+    _check_mp(text, mesh8)
+
+
+def test_mp_residue_deep_windows(mesh8, rng):
+    """Tied groups deeper than RESIDUE_WIN exercise _GatheredView's
+    prefetch + deep-window compare (suffix_less / suffix_lcp), and the
+    LCP patches land exactly."""
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    text = ALNUM[rng.integers(0, 62, 8 * 4096)]
+    block = ALNUM[rng.integers(0, 62, 200)]
+    for at in (500, 9000, 17000):             # 200-byte triple repeat
+        text[at:at + 200] = block
+    n = len(text)
+    sa_pad, lcp_pad = _mp_build(text, mesh8, want_lcp=True)
+    want = np.asarray(suffix_array_oracle(text.tobytes()))
+    assert np.array_equal(np.asarray(sa_pad)[:n], want)
+    assert np.array_equal(np.asarray(lcp_pad)[:n],
+                          np.asarray(lcp_oracle(text, want)))
+
+
+def test_mp_tie_past_deep_window_falls_back(mesh8, rng):
+    """Suffix pairs tied past the 4096-byte gather window cannot be
+    resolved without whole-text access: the mp build must raise
+    NotImplementedError (doubling fallback), never return a wrong SA."""
+    text = ALNUM[rng.integers(0, 62, 8 * 4096)]
+    text[64:64 + 6000] = text[16384:16384 + 6000]   # 6000-byte repeat
+    with pytest.raises(NotImplementedError):
+        _mp_build(text, mesh8)
+
+
+def test_mp_wide_device_columns_lcp(mesh8, rng):
+    """Forced wide mp build: two-word device columns with LCP, residue
+    patched per shard, vs the oracles."""
+    import jax
+    from hpc_suffix_array_tpu.core.oracle import lcp_oracle
+
+    text = ALNUM[rng.integers(0, 62, 8 * 2048)]
+    block = ALNUM[rng.integers(0, 62, 80)]
+    for at in (700, 9000):
+        text[at:at + 80] = block
+    n = len(text)
+    (s_hi, s_lo), (l_hi, l_lo) = _mp_build(text, mesh8, wide_index=True,
+                                           want_lcp=True)
+    m = s_hi.shape[0] // 8
+    sa = (np.asarray(jax.device_get(s_hi)).astype(np.int64) * m
+          + np.asarray(jax.device_get(s_lo)))[:n]
+    lcp = (np.asarray(jax.device_get(l_hi)).astype(np.int64) * m
+           + np.asarray(jax.device_get(l_lo)))[:n]
+    want = np.asarray(suffix_array_oracle(text.tobytes())).astype(np.int64)
+    assert np.array_equal(sa, want)
+    assert np.array_equal(lcp, np.asarray(lcp_oracle(text, want)))
+
+
+def test_mp_matches_host_api(mesh8, rng):
+    """The mp entry and the single-process entry agree bit-for-bit on
+    the same input (same kernels, different text-access strategy)."""
+    text = ALNUM[rng.integers(0, 62, 8 * 2048)]
+    text[100:164] = text[5000:5064]
+    n = len(text)
+    via_mp = np.asarray(_mp_build(text, mesh8))[:n]
+    via_host = np.asarray(build_suffix_array_sharded_big(text, mesh8))
+    assert np.array_equal(via_mp, via_host)
