@@ -221,6 +221,13 @@ def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
     sort/gather class the TPU tunnel compiles in minutes, where the PLCP
     round program (scans + pointer-jumping gathers) costs hours of
     remote compile at benchmark shapes (measured r2; see TODO.md).
+    BELOW those thresholds, texts whose repeat estimate is deep
+    (SA_LCP_CHAIN_EST, default 512 bytes — the reference's repetitive
+    corpus family, generate_large_datasets.py:16-23) also take the
+    carried-keys rebuild from SA_LCP_CHAIN_MIN (16 KiB) up: the PLCP
+    loop pays ~log2(repeat/CMP_WIDTH) scan-class rounds on them
+    (r3 artifact: repetitive_1MB at 0.15 MB/s vs random_1MB at
+    0.80 s), while chain mode finishes them in one sort-class pass.
 
     Beyond SA_LCP_BIG_MIN bytes (default 8 MiB) the LCP comes from the
     carried-keys machinery instead (core/bigsort.py ``want_lcp`` —
@@ -283,5 +290,39 @@ def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
             # re-raise the window path's actionable message above it.
             if n > int(os.environ.get("SA_LCP_PLCP_MAX", 1 << 23)):
                 raise
+    elif (n >= int(os.environ.get("SA_LCP_CHAIN_MIN", 1 << 14))
+          and _deep_repeat(np.asarray(as_byte_array(text)), n)):
+        # Mid-size texts with DEEP repeats (the reference's repetitive
+        # family below the window/big thresholds): the PLCP loop pays
+        # ~log2(repeat/CMP_WIDTH) host-driven rounds of scan-class
+        # programs — 9 rounds / 2.36 s at 1 MB p1000 on CPU, 6.65 s
+        # through the TPU tunnel (r3 artifact: 0.15 MB/s, 60x slower
+        # than the random row) — while the carried-keys rebuild is one
+        # sort-class pass (0.42 s warm, same machine; chain mode covers
+        # periodic text at any n). Cross-check the supplied sa exactly
+        # like the big route; refusals fall through to the PLCP rounds,
+        # which remain the any-skew closer at these sizes.
+        derived = _sa_lcp_big(text, n, text_dev=text_dev)
+        if derived is not None:
+            _sa, lcp = derived
+            if not bool(jax.device_get(jnp.all(_sa == sa))):
+                raise ValueError(
+                    "supplied sa is not the suffix array of text: the "
+                    "repetitive-text LCP route derives the order from the "
+                    "text (carried-keys build) and cross-checks `sa`; pass "
+                    "the true SA or call build_sa_lcp(text)")
+            return lcp
     plcp = plcp_kernel(arr, sa)
     return lcp_from_plcp(plcp, sa)
+
+
+def _deep_repeat(arr: np.ndarray, n: int) -> bool:
+    """Longest-repeat estimate exceeds what the PLCP rounds absorb
+    cheaply (each round extends ~CMP_WIDTH bytes + doubles via pointer
+    jumps; repeats past SA_LCP_CHAIN_EST mean multiple extra rounds)."""
+    import os
+
+    from hpc_suffix_array_tpu.core.bigsort import estimate_repeat_len
+
+    return (estimate_repeat_len(arr)
+            > int(os.environ.get("SA_LCP_CHAIN_EST", 512)))

@@ -87,3 +87,46 @@ def test_staged_state_reuse(rng):
     b = np.asarray(build_lcp_array_sorted(text, sa, state))
     assert np.array_equal(a, b)
     assert np.array_equal(a, np.asarray(lcp_oracle(text, sa)))
+
+
+def test_repetitive_midsize_routes_to_carried_keys(rng, monkeypatch):
+    """Deep-repeat texts below the window/big thresholds skip the PLCP
+    round loop (r3 artifact: 0.15 MB/s at repetitive_1MB through the
+    tunnel) and take the carried-keys rebuild instead — exact, and the
+    supplied sa is cross-checked."""
+    import hpc_suffix_array_tpu.core.lcp as L
+
+    called = []
+    orig = L._sa_lcp_big
+
+    def spy(text, n, text_dev=None):
+        called.append(n)
+        return orig(text, n, text_dev=text_dev)
+
+    monkeypatch.setattr(L, "_sa_lcp_big", spy)
+    n = 1 << 17                       # 128 KiB < SA_LCP_WINDOW_MIN
+    text = np.tile(ALNUM[rng.integers(0, 62, 1000)], n // 1000 + 1)[:n]
+    sa = np.asarray(suffix_array_oracle(text.tobytes()))
+    lcp = np.asarray(L.build_lcp_array(text, sa))
+    assert called == [n]              # the new route actually ran
+    assert np.array_equal(lcp, np.asarray(lcp_oracle(text, sa)))
+    # Wrong (but valid-permutation) sa must raise, not be ignored.
+    bad = sa.copy()
+    bad[0], bad[1] = bad[1], bad[0]
+    with pytest.raises(ValueError, match="repetitive-text"):
+        L.build_lcp_array(text, bad)
+
+
+def test_random_midsize_stays_on_plcp(rng, monkeypatch):
+    """Shallow-repeat texts below the thresholds keep the 1-round PLCP
+    path (no carried-keys rebuild dispatched)."""
+    import hpc_suffix_array_tpu.core.lcp as L
+
+    def boom(text, n, text_dev=None):
+        raise AssertionError("carried-keys route taken for random text")
+
+    monkeypatch.setattr(L, "_sa_lcp_big", boom)
+    text = ALNUM[rng.integers(0, 62, 1 << 17)]
+    sa = np.asarray(suffix_array_oracle(text.tobytes()))
+    lcp = np.asarray(L.build_lcp_array(text, sa))
+    assert np.array_equal(lcp, np.asarray(lcp_oracle(text, sa)))
