@@ -37,6 +37,18 @@ from hpc_suffix_array_tpu.utils.io import read_file
 MB = 1024 * 1024
 
 
+def _platform() -> str:
+    """Real device platform behind the rows (axon = the TPU tunnel,
+    cpu = the virtual mesh) — recorded so artifacts from the two
+    environments can never be confused for each other."""
+    import jax
+
+    try:
+        return jax.devices()[0].platform
+    except Exception:
+        return "unknown"
+
+
 def _row_for_file(path, result, backend: str, processes: int) -> dict:
     size = result.string_length
     t = result.total_time
@@ -45,6 +57,7 @@ def _row_for_file(path, result, backend: str, processes: int) -> dict:
         "size_bytes": size,
         "size_mb": size / MB,
         "backend": backend,
+        "platform": _platform(),
         "processes": processes,
         "time_seconds": t,
         "throughput_mb_s": (size / MB) / t if t > 0 else 0,
@@ -70,6 +83,7 @@ def _failed_row(path, size_bytes: int, backend: str, processes: int,
         "size_bytes": size_bytes,
         "size_mb": size_bytes / MB,
         "backend": backend,
+        "platform": _platform(),
         "processes": processes,
         "time_seconds": 0.0,
         "throughput_mb_s": 0.0,
@@ -115,7 +129,9 @@ def _time_limit(seconds):
 
 def benchmark_corpora(files, results_dir="results/benchmarks",
                       mesh_sizes=(None,), verbose: bool = True,
-                      timeout_s: float | None = 7200) -> pd.DataFrame:
+                      timeout_s: float | None = 7200,
+                      seq_csv_name: str = "sequential_results.csv"
+                      ) -> pd.DataFrame:
     """Sweep corpus files across backends; write per-backend CSVs.
 
     ``mesh_sizes``: iterable of None (single-device) and/or ints (sharded
@@ -124,18 +140,28 @@ def benchmark_corpora(files, results_dir="results/benchmarks",
     (default = the reference's 7200 s envelope,
     benchmark_sequential.py:84) produces a FAILED row and the sweep
     continues.
+
+    ``seq_csv_name``: filename for the single-device rows — the CPU-mesh
+    sweep (bench/mesh_sweep.py) writes its own baseline under a distinct
+    name so it never clobbers the committed TPU artifact; the
+    speedup/efficiency math always uses THIS run's baseline (same
+    platform), never a CSV from another machine.
     """
     results_dir = pathlib.Path(results_dir)
     results_dir.mkdir(parents=True, exist_ok=True)
+    # Label rows by the REAL platform: "tpu"/"tpu_sharded_P" on the chip
+    # (axon tunnel), "cpu"/"cpu_sharded_P" on the virtual mesh — a
+    # CPU-mesh sweep can never masquerade as chip numbers.
+    base = "tpu" if _platform() in ("tpu", "axon") else "cpu"
     rows = []
     for ms in mesh_sizes:
         mesh = None
-        backend = "tpu"
+        backend = base
         processes = 1
         if ms is not None:
             from hpc_suffix_array_tpu.parallel import make_mesh
             mesh = make_mesh(ms)
-            backend = f"tpu_sharded_{ms}"
+            backend = f"{base}_sharded_{ms}"
             processes = ms
         for path in files:
             try:
@@ -173,10 +199,10 @@ def benchmark_corpora(files, results_dir="results/benchmarks",
     df = pd.DataFrame(rows)
     if df.empty:
         return df
-    seq = df[df.backend == "tpu"]
+    seq = df[~df.backend.str.contains("_sharded_")]
     if not seq.empty:
-        seq.to_csv(results_dir / "sequential_results.csv", index=False)
-    par = df[df.backend != "tpu"]
+        seq.to_csv(results_dir / seq_csv_name, index=False)
+    par = df[df.backend.str.contains("_sharded_")]
     if not par.empty:
         par = add_speedup_efficiency(par, seq)
         par.to_csv(results_dir / "parallel_results.csv", index=False)
@@ -212,15 +238,33 @@ def weak_scaling_proxy(bytes_per_shard: int = 1 << 20,
     curve measures ONE algorithm: "msd" (one-pass carried-keys sort),
     "doubling", or "auto" (production routing — n crosses the MSD
     threshold as P grows, so auto curves mix algorithms; fine for
-    end-to-end tracking, wrong for efficiency claims).
+    end-to-end tracking, wrong for efficiency claims). Two more
+    variants time ``build_suffix_array_sharded_big`` directly (no
+    pipeline, sa_time = the whole fused build):
+
+    * "msd_lcp" — ``want_lcp=True``: the fused SA+LCP build, the route
+      production takes above SA_LCP_BIG_MIN (core/lcp.py);
+    * "msd_wide" — forced ``wide_index`` + ``device_columns`` +
+      ``want_lcp``: two-word base-m SA and LCP columns kept sharded on
+      device, the >=4 GiB ladder config's arithmetic (BASELINE.md).
     """
     from hpc_suffix_array_tpu.datasets.generate import (
         generate_dna_text, generate_random_text, generate_repetitive_text)
     from hpc_suffix_array_tpu.parallel import make_mesh
 
     thresholds = {"msd": "0", "doubling": str(1 << 62), "auto": None}
+    big_variants = {
+        "msd_lcp": dict(want_lcp=True),
+        "msd_wide": dict(wide_index=True, device_columns=True,
+                         want_lcp=True),
+    }
+    if builder in big_variants:
+        return _weak_scaling_big_variant(
+            builder, big_variants[builder], bytes_per_shard, mesh_sizes,
+            results_dir, input_type, verbose)
     if builder not in thresholds:
-        raise ValueError(f"builder must be one of {sorted(thresholds)}")
+        raise ValueError(
+            f"builder must be one of {sorted(thresholds) + sorted(big_variants)}")
     gens = {"random": generate_random_text,
             "repetitive": generate_repetitive_text,
             "dna": generate_dna_text}
@@ -258,6 +302,10 @@ def weak_scaling_proxy(bytes_per_shard: int = 1 << 20,
             else:
                 os.environ["SA_SHARDED_MSD_MIN"] = prev_env
 
+    return _append_scaling_rows(rows, results_dir)
+
+
+def _append_scaling_rows(rows, results_dir) -> pd.DataFrame:
     df = pd.DataFrame(rows)
     results_dir = pathlib.Path(results_dir)
     results_dir.mkdir(parents=True, exist_ok=True)
@@ -269,6 +317,74 @@ def weak_scaling_proxy(bytes_per_shard: int = 1 << 20,
         df = pd.concat([old, df], ignore_index=True)
     df.to_csv(out, index=False)
     return df
+
+
+def _fence_tree(out) -> None:
+    """Completion fence for a (possibly nested) tuple of device arrays:
+    materialize every addressable shard (works single- and multi-process;
+    `block_until_ready` alone is not a fence through the TPU tunnel)."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        for s in getattr(leaf, "addressable_shards", []):
+            np.asarray(s.data)
+
+
+def _weak_scaling_big_variant(builder: str, kwargs: dict,
+                              bytes_per_shard: int, mesh_sizes,
+                              results_dir, input_type: str,
+                              verbose: bool) -> pd.DataFrame:
+    """Weak-scaling rows for a ``build_suffix_array_sharded_big`` variant
+    (want_lcp / wide device-columns) — the fused build IS the timed
+    region; sa_time = total_time (there is no separate LCP phase: the
+    LCP columns come out of the same sort)."""
+    from hpc_suffix_array_tpu.bench.timing import BenchmarkResult
+    from hpc_suffix_array_tpu.datasets.generate import (
+        generate_dna_text, generate_random_text, generate_repetitive_text)
+    from hpc_suffix_array_tpu.parallel import make_mesh
+    from hpc_suffix_array_tpu.parallel.bigsort import (
+        build_suffix_array_sharded_big)
+
+    gens = {"random": generate_random_text,
+            "repetitive": generate_repetitive_text,
+            "dna": generate_dna_text}
+    rows = []
+    t1 = None
+    for p in mesh_sizes:
+        n = bytes_per_shard * p
+        text = gens[input_type](n, seed=42)
+        mesh = make_mesh(p)
+
+        def run():
+            _fence_tree(build_suffix_array_sharded_big(text, mesh,
+                                                       **kwargs))
+
+        t0 = time.perf_counter()
+        run()                                   # warmup (compile)
+        warmup_total = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        if t1 is None:
+            t1 = dt
+        eff = t1 / dt if dt > 0 else 0.0
+        eff_n = p * t1 / dt if dt > 0 else 0.0
+        if verbose:
+            print(f"weak-scaling[{builder}] P={p} n={n / MB:.1f}MB "
+                  f"sa={dt:.3f}s eff={eff:.2f} eff_norm={eff_n:.2f}")
+        r = BenchmarkResult(
+            implementation=f"tpu_sharded_{p}", input_type=input_type,
+            string_length=n, total_time=dt, sa_time=dt, lcp_time=0.0,
+            lrs_time=0.0, memory_used=3 * n * 4,
+            compile_time=max(0.0, warmup_total - dt))
+        row = _row_for_file(f"weak_{input_type}_{p}shard", r,
+                            f"tpu_sharded_{p}", p)
+        row["scaling_mode"] = "weak_proxy_cpu_mesh"
+        row["builder"] = builder
+        row["weak_efficiency"] = eff
+        row["weak_efficiency_normalized"] = eff_n
+        rows.append(row)
+    return _append_scaling_rows(rows, results_dir)
 
 
 def add_speedup_efficiency(par: pd.DataFrame,

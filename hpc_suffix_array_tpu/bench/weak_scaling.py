@@ -18,12 +18,18 @@ Writes, under results/weak_scaling/ (committed as review evidence):
   * weak_scaling.png — efficiency curves per builder vs the 70% bar;
   * weak_scaling.txt — the numbers a reviewer reads without running.
 
-Both sharded builders are swept separately (mixing them would measure
-routing, not scaling): the one-pass carried-keys MSD (production path
-at benchmark sizes) and the prefix-doubling loop (the any-skew
-fallback). Parity anchor: the reference's own scaling evidence is the
-oversubscribed single-node MPI sweep (scripts/benchmark_mpi.py:61,154)
-— this proxy is the same idea with real XLA device boundaries.
+Each sharded build variant is swept separately (mixing them would
+measure routing, not scaling): the one-pass carried-keys MSD
+(production path at benchmark sizes), its fused SA+LCP form
+(``msd_lcp``), the forced wide-index device-columns form (``msd_wide``
+— the >=4 GiB ladder config's arithmetic), and the prefix-doubling
+loop (the any-skew fallback). A final ``msd_2proc`` point runs the
+one-pass MSD as TWO REAL OS PROCESSES under `jax.distributed`
+(weak_scaling_worker.py) — a real coordinator and per-process-local
+text feed, the launch shape of the reference's `mpirun -np 2`. Parity
+anchor: the reference's own scaling evidence is the oversubscribed
+single-node MPI sweep (scripts/benchmark_mpi.py:61,154) — this proxy
+is the same idea with real XLA device boundaries.
 """
 
 from __future__ import annotations
@@ -50,6 +56,66 @@ def _force_cpu_mesh(n_devices: int) -> None:
     jax.config.update("jax_compilation_cache_dir", None)
 
 
+def _distributed_point(bytes_per_shard: int):
+    """Real 2-process `jax.distributed` weak-scaling point (builder
+    ``msd_2proc``): worker processes with a real coordinator, each
+    feeding only its local text block to the one-pass MSD `_mp` build —
+    the same launch shape as the reference's `mpirun -np 2`
+    (scripts/benchmark_mpi.py:59-90), text sharded instead of
+    replicated. t1 = the SAME `_mp` code path at 1 process x 1 device;
+    tP at 2 processes x 2 devices each (P=4 <= the host's cores).
+    Returns a DataFrame of two rows, or None if a worker fails."""
+    import json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    worker = pathlib.Path(__file__).with_name("weak_scaling_worker.py")
+
+    def launch(nprocs: int, dpp: int):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        procs = [subprocess.Popen(
+            [_sys.executable, str(worker), str(i), str(nprocs), str(port),
+             str(bytes_per_shard), str(dpp)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env) for i in range(nprocs)]
+        outs = [p.communicate(timeout=1200) for p in procs]
+        for p, (so, se) in zip(procs, outs):
+            if p.returncode != 0:
+                print(f"weak-scaling[msd_2proc] worker failed:\n{se[-2000:]}")
+                return None
+        return json.loads(outs[0][0].strip().splitlines()[-1])
+
+    r1 = launch(1, 1)
+    rP = launch(2, 2)
+    if r1 is None or rP is None:
+        return None
+    import pandas as pd
+    t1, tP, P = r1["sa_time"], rP["sa_time"], rP["P"]
+    rows = []
+    for r, p_ in ((r1, 1), (rP, P)):
+        dt = r["sa_time"]
+        rows.append({
+            "file": f"weak_random_{p_}shard", "size_bytes": r["n"],
+            "size_mb": r["n"] / (1 << 20), "backend": f"tpu_sharded_{p_}",
+            "platform": "cpu", "processes": p_, "time_seconds": dt,
+            "throughput_mb_s": r["n"] / (1 << 20) / dt if dt > 0 else 0,
+            "sa_time": dt, "total_time": dt, "lcp_time": 0.0,
+            "lrs_time": 0.0, "compile_time": 0.0, "success": True,
+            "error": "", "scaling_mode": "weak_dist_2proc_cpu_mesh",
+            "builder": "msd_2proc",
+            "weak_efficiency": t1 / dt if dt > 0 else 0.0,
+            "weak_efficiency_normalized": p_ * t1 / dt if dt > 0 else 0.0,
+        })
+    print(f"weak-scaling[msd_2proc] P={P} (2 procs x {P // 2} dev) "
+          f"t1={t1:.3f}s tP={tP:.3f}s eff_norm={P * t1 / tP:.2f}")
+    return pd.DataFrame(rows)
+
+
 def main(bytes_per_shard: int = 1 << 21,
          mesh_sizes=(1, 2, 4, 8),
          out_dir: str = "results/weak_scaling") -> None:
@@ -65,12 +131,15 @@ def main(bytes_per_shard: int = 1 << 21,
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     frames = []
-    for builder in ("msd", "doubling"):
+    for builder in ("msd", "msd_lcp", "msd_wide", "doubling"):
         df = weak_scaling_proxy(bytes_per_shard=bytes_per_shard,
                                 mesh_sizes=mesh_sizes,
                                 results_dir=str(out), builder=builder)
         df = df[df["builder"] == builder].copy()
         frames.append(df)
+    dist = _distributed_point(bytes_per_shard)
+    if dist is not None:
+        frames.append(dist)
     all_df = pd.concat(frames, ignore_index=True)
     csv_path = out / "weak_scaling.csv"
     all_df.to_csv(csv_path, index=False)

@@ -147,7 +147,11 @@ def generate_comparative_charts(results_dir="results/benchmarks",
     out = _ensure(out_dir)
     rd = pathlib.Path(results_dir)
     frames = []
-    for name in ("sequential_results.csv", "parallel_results.csv"):
+    # sequential_results_cpu.csv: the CPU-mesh sweep's own single-device
+    # baseline (bench/mesh_sweep.py) — a separate backend line, never a
+    # replacement for the TPU artifact.
+    for name in ("sequential_results.csv", "sequential_results_cpu.csv",
+                 "parallel_results.csv"):
         p = rd / name
         if p.exists():
             frames.append(pd.read_csv(p))
@@ -169,7 +173,7 @@ def generate_comparative_charts(results_dir="results/benchmarks",
     axes[0, 1].set_ylabel("MB/s")
     axes[0, 1].legend()
 
-    par = df[df.backend != "tpu"]
+    par = df[df.backend.astype(str).str.contains("_sharded_")]
     if "speedup" in par.columns and not par.empty:
         for backend, g in par.groupby("backend"):
             axes[1, 0].semilogx(g.size_bytes, g.speedup, "o-", label=backend)

@@ -70,7 +70,9 @@ def generate_multi_backend_report(results_dir="results/benchmarks",
                                   "multi_backend_report.txt") -> pathlib.Path:
     rd = pathlib.Path(results_dir)
     frames = [pd.read_csv(p) for p in
-              (rd / "sequential_results.csv", rd / "parallel_results.csv")
+              (rd / "sequential_results.csv",
+               rd / "sequential_results_cpu.csv",
+               rd / "parallel_results.csv")
               if p.exists()]
     out = pathlib.Path(out_path)
     out.parent.mkdir(parents=True, exist_ok=True)
