@@ -9,6 +9,23 @@ Each draw randomizes the environment thresholds so every dispatch path
 gets hit: direct (2/3 words, ascending/chain/mispredicted), count-free
 vs exact MSD (incl. forced-overflow reruns via negative margins),
 doubling fallback, and the LCP routing stack.
+
+Half the draws come from ADVERSARIAL families engineered against the
+host-side samplers (r4):
+  * probe_edge — planted repeated blocks with length straddling
+    estimate_repeat_len's probe_depth (4096): the estimate saturates,
+    chain mode is (mis)predicted, and the build must recover through
+    the bounded misprediction rerun;
+  * heavy_k0  — 85-95% of positions share one leading symbol but the
+    text is aperiodic: the edge sampler's uniformity assumption and the
+    count-free slab fill fractions are both wrong, forcing overflow
+    reruns;
+  * min_tail  — power-of-two alphabet with a long minimum-symbol tail
+    run: under minpad packing those suffixes all pack to key 0,
+    colliding with past-end padding semantics.
+Every build reports its meta through ``info`` and the soak asserts the
+rerun chain stays BOUNDED (<= 3 entries) — a misprediction may re-run
+once or twice, never loop.
 """
 from __future__ import annotations
 
@@ -18,6 +35,39 @@ import sys
 import time
 
 import numpy as np
+
+ALNUM = np.frombuffer(
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+    np.uint8)
+
+
+def _draw_adversarial(rng, n: int) -> np.ndarray:
+    """Corpora engineered against the samplers (module docstring)."""
+    kind = int(rng.integers(0, 3))
+    if kind == 0:                         # probe_edge
+        t = ALNUM[rng.integers(0, 62, n)]
+        blk = int(rng.choice([3800, 4090, 4096, 4200, 5000]))
+        blk = min(blk, n // 3)
+        src = int(rng.integers(0, n - 2 * blk))
+        for _ in range(int(rng.integers(1, 4))):
+            at = int(rng.integers(0, n - blk))
+            t[at:at + blk] = t[src:src + blk]
+        return t
+    if kind == 1:                         # heavy_k0 aperiodic skew
+        t = np.full(n, ALNUM[0], np.uint8)
+        frac = float(rng.uniform(0.05, 0.15))
+        breaks = rng.integers(0, n, max(int(n * frac), 8))
+        t[breaks] = ALNUM[rng.integers(1, 62, len(breaks))]
+        return t
+    # min_tail: 4-symbol alphabet, long min-symbol tail run (minpad
+    # packs the all-min suffixes to key 0).
+    t = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, n)].copy()
+    run = int(rng.integers(100, min(5000, n // 2)))
+    t[-run:] = ord("A")
+    if rng.integers(0, 2):                # sometimes a mid-text run too
+        at = int(rng.integers(0, n - run))
+        t[at:at + run] = ord("A")
+    return t
 
 
 def main():
@@ -53,7 +103,8 @@ def main():
     while time.time() < deadline:
         rng = np.random.default_rng(seed0 + i)
         n = int(rng.integers(4_100, 120_000))
-        text = fuzz._draw(rng, n)
+        adversarial = bool(rng.integers(0, 2))
+        text = _draw_adversarial(rng, n) if adversarial else fuzz._draw(rng, n)
         # Randomize the routing knobs.
         os.environ["SA_BIG_THRESHOLD"] = str(int(rng.integers(2_000, 8_000)))
         os.environ["SA_LCP_BIG_MIN"] = str(int(rng.integers(2_000, 8_000)))
@@ -64,9 +115,14 @@ def main():
             float(rng.choice([0.06, 0.02, -0.3])))   # -0.3 forces reruns
         os.environ["SA_BIG_COUNT_FREE"] = str(int(rng.integers(0, 2)))
         ref = np.asarray(suffix_array_oracle(text.tobytes()))
-        sa = np.asarray(build_suffix_array(text))
+        info: dict = {}
+        sa = np.asarray(build_suffix_array(text, info=info))
         assert np.array_equal(sa, ref), \
-            f"SA mismatch i={i} n={n} env={dict(os.environ)}"
+            f"SA mismatch i={i} n={n} adv={adversarial} " \
+            f"env={ {k: v for k, v in os.environ.items() if k[:3] == 'SA_'} }"
+        reruns = info.get("rerun", [])
+        assert len(reruns) <= 3, \
+            f"unbounded rerun chain i={i} n={n} adv={adversarial}: {reruns}"
         want_lcp = np.asarray(lcp_oracle(text, ref))
         lcp = np.asarray(build_lcp_array(text, ref))
         assert np.array_equal(lcp, want_lcp), f"LCP mismatch i={i} n={n}"
