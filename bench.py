@@ -91,10 +91,16 @@ def measure_tpu(n: int, reps: int) -> float:
             chunk_geometry, direct_feasible, execute_big, execute_direct,
             prepare_big, prepare_direct, replan_edges)
 
-        if bucket_size(n) <= int(os.environ.get("SA_DIRECT_MAX", 1 << 28)):
-            # Mirror build_suffix_array's routing: one-sort direct path
-            # (measured 143-164 MB/s across 2^24-2^28 vs the two-sort
-            # MSD's 66-114) whenever the triple fits a single sort.
+        if (bucket_size(n) <= int(os.environ.get("SA_DIRECT_MAX", 1 << 28))
+                and bucket_size(n) <= int(
+                    os.environ.get("SA_DIRECT_CROSS", 1 << 27))):
+            # Mirror build_suffix_array's routing (prefer_direct): the
+            # direct one-sort path wins through SA_DIRECT_CROSS
+            # (measured 212.3/203.0 MB/s at 2^26/2^27 vs MSD
+            # 145.7/175.2); at 2^28 the fine-geometry MSD edges it
+            # (195.6 vs 192.8 — experiments/routing_{msd_small,
+            # direct}.py r4), and random alnum is never chain-class,
+            # so the cross check IS prefer_direct here.
             text, text_dev = twin_corpus(n, bucket_size(n))
             if direct_feasible(text, n):
                 state = prepare_direct(text, text_dev=text_dev)
@@ -400,13 +406,21 @@ def main() -> None:
                     extra["rounds"] = int(jax.device_get(rounds))
                     del _sa
                 else:
-                    # Production routing: direct one-sort while it fits,
-                    # else the MSD (chain mode auto for periodic text).
-                    arr, dev = gen(bucket_size(nsec)
-                                   if bucket_size(nsec) <= direct_max
+                    # Production routing (prefer_direct): direct
+                    # one-sort up to SA_DIRECT_CROSS or for chain-class
+                    # text, else the fine-geometry MSD. The corpus
+                    # family tells us chain-class up front (p1000 yes,
+                    # DNA no) so the twin is generated at the right
+                    # padded shape the first time.
+                    cross = int(os.environ.get("SA_DIRECT_CROSS",
+                                               1 << 27))
+                    chainy = tag == "repetitive_p1000"
+                    want_direct = (bucket_size(nsec) <= direct_max
+                                   and (bucket_size(nsec) <= cross
+                                        or chainy))
+                    arr, dev = gen(bucket_size(nsec) if want_direct
                                    else chunk_geometry(nsec)[2])
-                    if (bucket_size(nsec) <= direct_max
-                            and direct_feasible(arr, nsec)):
+                    if want_direct and direct_feasible(arr, nsec):
                         state = prepare_direct(arr, text_dev=dev)
                         dt = timed_best2(
                             lambda: execute_direct(dict(state)))
@@ -417,6 +431,11 @@ def main() -> None:
                         if state.get("nw", 2) != 2:
                             extra["carried_words"] = state["nw"]
                     else:
+                        # dev was sized for the direct path if
+                        # want_direct mispredicted feasibility; restage
+                        # rather than hand prepare_big a wrong shape.
+                        if tuple(dev.shape) != (chunk_geometry(nsec)[2],):
+                            dev = None
                         state = prepare_big(arr, text_dev=dev)
                         dt = timed_best2(
                             lambda: execute_big(dict(state)))

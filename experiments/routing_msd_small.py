@@ -10,6 +10,23 @@ currently sends to the direct path (143-164 MB/s measured r3).
 Run on the real chip: python experiments/routing_msd_small.py [log2 ...]
 Corpus via env SA_RD_CORPUS=alnum|dna|p1000 (default alnum) — same knob
 as routing_direct.py, twin-generated (no tunnel staging).
+
+MEASURED (v5e 2026-08-20, best-of-2, MB/s) — and the same sweep re-run
+through routing_direct.py on current code, which showed the r2-era
+direct table (151/164/144) was stale:
+
+    n      MSD(alnum)  direct(alnum)  MSD(dna)  direct(dna)  MSD(p1000)  direct(p1000)
+    2^24     64.5          151*          -          -            -          -
+    2^26    145.7          212.3       143.9      208.7        70.9       177.8
+    2^27    175.2          203.0       177.5      202.7         -          -
+    2^28    195.6          192.8       194.7      187.8       110.1       179.8
+    (* r3 value; not re-measured — far from the crossover)
+
+VERDICT: crossover just past 2^27 for non-chain text; chain-class
+(p1000) stays direct at every feasible n. Router retuned accordingly
+(core/bigsort.prefer_direct, SA_DIRECT_CROSS=2^27) and validated
+end-to-end: bench.py at 2^28 routes msd_bigsort at 196.6 MB/s
+(was 144 via direct under the old router), sa_lcp 193.3.
 """
 
 import json

@@ -72,9 +72,9 @@ def run(text: np.ndarray, filename: str, backend: str, n_devices: int | None,
             # these sizes a standalone LCP pass would redo the same
             # full-text sort (see core/lcp.build_lcp_array).
             from hpc_suffix_array_tpu.core.bigsort import (
-                build_suffix_array_direct, direct_feasible)
+                build_suffix_array_direct, prefer_direct)
 
-            if direct_feasible(text, n):
+            if prefer_direct(text, n):
                 try:
                     combined = build_suffix_array_direct(
                         text, want_lcp=True, info=info)

@@ -774,18 +774,21 @@ def chunk_geometry(n: int, chunk_elems: int | None = None
     shape ``prepare_big`` expects and skip staging entirely.
     """
     if chunk_elems is None:
-        # Everything routed to the MSD (above the direct path's one-sort
-        # cap, 2^28) gets 7*2^20 chunks: sort cost STEPS at powers of
-        # two, and the scatter sorts m + W elements — m = 7*2^20 keeps
-        # m + W under 2^23, in the cheap network class (measured v5e
-        # 2026-08-19: 1 GiB scatter 3.56 s at m=2^23 -> 2.77 s at
-        # 7*2^20; with under-2^23 bucket fills the headline went
-        # 168.6 -> 218.9 MB/s). Smaller still loses to per-chunk fixed
-        # costs (m=2^23 beat 2^24 by only ~11%/elem before the step
-        # insight — experiments/bucket_barrier_ab.py). Below the direct
-        # cap, keep fewer/larger chunks.
+        # Everything routed to the MSD as the PREFERRED path (above
+        # SA_DIRECT_CROSS, 2^27 — see prefer_direct) gets 7*2^20
+        # chunks: sort cost STEPS at powers of two, and the scatter
+        # sorts m + W elements — m = 7*2^20 keeps m + W under 2^23, in
+        # the cheap network class (measured v5e 2026-08-19: 1 GiB
+        # scatter 3.56 s at m=2^23 -> 2.77 s at 7*2^20; with
+        # under-2^23 bucket fills the headline went 168.6 -> 218.9
+        # MB/s; the r4 crossover numbers in prefer_direct were all
+        # measured WITH this geometry). Smaller still loses to
+        # per-chunk fixed costs (m=2^23 beat 2^24 by only ~11%/elem
+        # before the step insight — experiments/bucket_barrier_ab.py).
+        # Below the cross (MSD runs only as a fallback there), keep
+        # fewer/larger chunks.
         chunk_elems = int(os.environ.get(
-            "SA_CHUNK_ELEMS", 7 << 20 if n > 1 << 28 else 1 << 25))
+            "SA_CHUNK_ELEMS", 7 << 20 if n > 1 << 26 else 1 << 25))
     m = bucket_size(min(chunk_elems, n))
     n_chunks = -(-n // m)
     return m, n_chunks, n_chunks * m + HALO
@@ -1539,6 +1542,43 @@ def direct_feasible(arr: np.ndarray, n: int,
     return (residue_feasible(arr, n, RESIDUE_SLOTS / 4, est_repeat)
             or residue_feasible(arr, n, RESIDUE_SLOTS / 4, est_repeat,
                                 words=3))
+
+
+def prefer_direct(arr: np.ndarray, n: int,
+                  est_repeat: int | None = None) -> bool:
+    """Routing preference between the two carried-keys builders.
+
+    ``direct_feasible`` answers "CAN the one-sort path run" (memory cap
+    + bounded residue); this answers "SHOULD it" — the r4 re-measure of
+    the crossover, both paths on current code (experiments/
+    routing_msd_small.py vs routing_direct.py, v5e 2026-08-20, MB/s):
+
+        n      direct(alnum)  MSD(fine)   direct(dna)  MSD(dna)
+        2^26       212.3         145.7       208.7        143.9
+        2^27       203.0         175.2       202.7        177.5
+        2^28       192.8         195.6       187.8        194.7
+
+    The one-sort path's per-element cost climbs a sort class every
+    doubling of n while the MSD's two sorts stay in the cheap sub-2^23
+    class forever, so the curves cross just past 2^27
+    (``SA_DIRECT_CROSS``; at 2^28 the MSD leads by 1.5-3.7% and above
+    it the one-sort triple no longer fits). Chain-class texts
+    (globally periodic — est_repeat beyond the carried window) stay
+    direct up to the feasibility cap: the MSD chain pass pays a count
+    phase + residue extraction the direct chain build avoids (p1000 at
+    2^28: direct 179.8 vs MSD 110.1).
+    """
+    if not direct_feasible(arr, n, est_repeat):
+        return False
+    cross = int(os.environ.get("SA_DIRECT_CROSS", 1 << 27))
+    if bucket_size(n) <= cross:
+        return True
+    if est_repeat is None:
+        est_repeat = estimate_repeat_len(arr)
+    # 16 = a conservative bound on nw*spw across alphabets (alnum
+    # 2*5, bytes 2*7): deeper sampled repeats mean the builders will
+    # run chain/deep-residue machinery, where direct wins at any n.
+    return est_repeat > 16
 
 
 def prepare_direct(text, *, text_dev=None, n_words: int | None = None):

@@ -169,11 +169,11 @@ def _sa_lcp_big(text, n: int, text_dev=None):
     corpora — the tunnel staging quirk, README 'Benchmarking notes')."""
     from hpc_suffix_array_tpu.core.bigsort import (
         build_suffix_array_big, build_suffix_array_direct, chunk_geometry,
-        direct_feasible)
+        prefer_direct)
     from hpc_suffix_array_tpu.core.suffix_array import bucket_size
 
     host = np.asarray(as_byte_array(text))   # host copy for planning
-    if direct_feasible(host, n):
+    if prefer_direct(host, n):
         dev = (text_dev if text_dev is not None
                and tuple(text_dev.shape) == (bucket_size(n),) else None)
         try:

@@ -243,19 +243,23 @@ def build_suffix_array(text, info: dict | None = None) -> jnp.ndarray:
     and bucketed for XLA, replacing the reference's malloc-per-size
     (manber_myers.c:83-85).
 
-    Routing (see core/bigsort.py):
+    Routing (see core/bigsort.py, esp. ``prefer_direct``):
       * n > SA_BIG_THRESHOLD (default 4 MiB): the carried-keys paths —
-        the direct one-sort build while the (k0, k1, idx) triple fits a
-        single device sort (`SA_DIRECT_MAX`, 2^28) and the predicted
-        residue is bounded, else the two-sort MSD bucket machinery.
-        Measured v5e, random alnum: direct 119.6 MB/s at 2^23, 151 at
-        2^24, 164 at 2^26, 144 at 2^28; MSD 124.5 at 2^30 — the
-        doubling kernel is flat ~63-72 across the range and its
-        ~30 B/char working set stops fitting HBM past 256 MiB
-        (experiments/routing_ab.py, routing_direct.py 2026-08-18).
-        Degenerate texts the carried-keys paths decline (residue
-        overflow, bucket skew) fall back to the doubling kernel while
-        it fits (<= 256 MiB);
+        the direct one-sort build up to the measured crossover
+        (`SA_DIRECT_CROSS`, 2^27) or for chain-class periodic texts up
+        to the feasibility cap (`SA_DIRECT_MAX`, 2^28), else the
+        two-sort fine-geometry MSD bucket machinery. Measured v5e,
+        random alnum (r4 2026-08-20): direct 212.3 MB/s at 2^26 and
+        203.0 at 2^27 vs MSD 145.7/175.2 — but 192.8 vs MSD 195.6 at
+        2^28 (the whole-text sort climbs a network class every
+        doubling; the MSD's sorts stay sub-2^23), and the MSD alone
+        reaches 220.3 at 2^30 where direct cannot run. The doubling
+        kernel is
+        flat ~63-72 across the range and its ~30 B/char working set
+        stops fitting HBM past 256 MiB (experiments/
+        routing_msd_small.py, routing_direct.py). Degenerate texts the
+        carried-keys paths decline (residue overflow, bucket skew)
+        fall back to the doubling kernel while it fits (<= 256 MiB);
       * n > SA_CHAIN_MIN (default 4 MiB) with long repeats detected by a
         host-side sample: the bucket sort's periodic-chain resolution,
         which replaces the doubling loop's log2(n) rounds on periodic
@@ -272,9 +276,9 @@ def build_suffix_array(text, info: dict | None = None) -> jnp.ndarray:
     if n > big_threshold:
         from hpc_suffix_array_tpu.core.bigsort import (
             build_suffix_array_big, build_suffix_array_direct,
-            direct_feasible)
+            prefer_direct)
         try:
-            if direct_feasible(arr, n):
+            if prefer_direct(arr, n):
                 try:                    # ONE sort when the triple fits
                     out = build_suffix_array_direct(arr, info=info)
                     if info is not None:
@@ -292,11 +296,11 @@ def build_suffix_array(text, info: dict | None = None) -> jnp.ndarray:
     elif n > int(os.environ.get("SA_CHAIN_MIN", 1 << 22)):
         from hpc_suffix_array_tpu.core.bigsort import (
             build_suffix_array_big, build_suffix_array_direct,
-            direct_feasible, estimate_repeat_len)
+            estimate_repeat_len, prefer_direct)
         est = estimate_repeat_len(arr)
         if est > 3 * 16:                        # beyond one-pass windows
             try:
-                if direct_feasible(arr, n, est_repeat=est):
+                if prefer_direct(arr, n, est_repeat=est):
                     try:
                         out = build_suffix_array_direct(arr, info=info)
                         if info is not None:
