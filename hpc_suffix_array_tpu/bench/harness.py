@@ -127,11 +127,47 @@ def _time_limit(seconds):
         signal.signal(signal.SIGALRM, old)
 
 
+def _twin_for_file(path):
+    """Device-born twin of a generated-family corpus file, or None.
+
+    Parses ``{random,repetitive,dna}_{N}MB`` from the filename and
+    twin-generates (host mirror, device copy) of the same family and
+    size at the padded geometry the routed build will use (direct →
+    bucket_size, MSD → chunk pad; repetitive is chain-class so it stays
+    direct at every feasible size — mirrors core.bigsort.prefer_direct).
+    The bytes are family-equivalent, not the file's bytes: twin rows
+    measure the build, not this environment's ~20-25 MB/s host<->device
+    tunnel (README 'Benchmarking notes')."""
+    import re as _re
+
+    m = _re.match(r"(random|repetitive|dna)_(\d+)MB",
+                  os.path.basename(str(path)))
+    if m is None:
+        return None
+    fam, mb = m.group(1), int(m.group(2))
+    n = mb * MB
+    from hpc_suffix_array_tpu.core.bigsort import chunk_geometry
+    from hpc_suffix_array_tpu.core.suffix_array import bucket_size
+    from hpc_suffix_array_tpu.utils.twin import twin_corpus, twin_periodic
+
+    cross = int(os.environ.get("SA_DIRECT_CROSS", 1 << 27))
+    direct_max = int(os.environ.get("SA_DIRECT_MAX", 1 << 28))
+    direct = bucket_size(n) <= (direct_max if fam == "repetitive"
+                                else min(cross, direct_max))
+    pad = bucket_size(n) if direct else chunk_geometry(n)[2]
+    if fam == "repetitive":
+        from hpc_suffix_array_tpu.datasets.generate import (
+            generate_random_text)
+        return twin_periodic(generate_random_text(1000, seed=0), n, pad)
+    return twin_corpus(n, pad, alphabet="alnum" if fam == "random"
+                       else "dna")
+
+
 def benchmark_corpora(files, results_dir="results/benchmarks",
                       mesh_sizes=(None,), verbose: bool = True,
                       timeout_s: float | None = 7200,
-                      seq_csv_name: str = "sequential_results.csv"
-                      ) -> pd.DataFrame:
+                      seq_csv_name: str = "sequential_results.csv",
+                      twin: bool = False) -> pd.DataFrame:
     """Sweep corpus files across backends; write per-backend CSVs.
 
     ``mesh_sizes``: iterable of None (single-device) and/or ints (sharded
@@ -146,6 +182,13 @@ def benchmark_corpora(files, results_dir="results/benchmarks",
     name so it never clobbers the committed TPU artifact; the
     speedup/efficiency math always uses THIS run's baseline (same
     platform), never a CSV from another machine.
+
+    ``twin``: corpora are twin-generated on device instead of read from
+    disk (family/size parsed from the filename; see _twin_for_file) —
+    the timed phases then measure the build, not this environment's
+    pathological host<->device staging. Rows carry
+    ``input_mode=twin_device``; files whose names don't parse fall back
+    to file mode for that row.
     """
     results_dir = pathlib.Path(results_dir)
     results_dir.mkdir(parents=True, exist_ok=True)
@@ -164,21 +207,34 @@ def benchmark_corpora(files, results_dir="results/benchmarks",
             backend = f"{base}_sharded_{ms}"
             processes = ms
         for path in files:
-            try:
-                text = read_file(str(path))
-            except OSError as e:
-                if verbose:
-                    print(f"[{backend}] {path} ... FAILED (read: {e})")
-                rows.append(_failed_row(path, 0, backend, processes,
-                                        f"read error: {e}"))
-                continue
+            text_dev = None
+            input_mode = "file"
+            if twin:
+                pair = _twin_for_file(path)
+                if pair is not None:
+                    text, text_dev = pair
+                    input_mode = "twin_device"
+            if input_mode == "file":
+                try:
+                    text = read_file(str(path))
+                except OSError as e:
+                    if verbose:
+                        print(f"[{backend}] {path} ... FAILED (read: {e})")
+                    rows.append(_failed_row(path, 0, backend, processes,
+                                            f"read error: {e}"))
+                    continue
+            # Twin rows get their own backend label so chart/report
+            # groupings never mix device-born and file-staged timings.
+            bk = (backend + "_twin" if input_mode == "twin_device"
+                  else backend)
             if verbose:
-                print(f"[{backend}] {path} ({len(text) / MB:.1f} MB) ... ",
-                      end="", flush=True)
+                print(f"[{bk}] {path} ({len(text) / MB:.1f} MB, "
+                      f"{input_mode}) ... ", end="", flush=True)
             t0 = time.perf_counter()
             try:
                 with _time_limit(timeout_s):
-                    r = run_benchmark(text, backend, "file", mesh=mesh)
+                    r = run_benchmark(text, bk, input_mode, mesh=mesh,
+                                      text_dev=text_dev)
             except _PhaseTimeout as e:
                 if verbose:
                     print("TIMEOUT")
@@ -194,7 +250,9 @@ def benchmark_corpora(files, results_dir="results/benchmarks",
             if verbose:
                 print(f"OK ({time.perf_counter() - t0:.2f}s) "
                       f"LRS={r.lrs_length}")
-            rows.append(_row_for_file(path, r, backend, processes))
+            row = _row_for_file(path, r, bk, processes)
+            row["input_mode"] = input_mode
+            rows.append(row)
 
     df = pd.DataFrame(rows)
     if df.empty:

@@ -41,6 +41,13 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     from hpc_suffix_array_tpu.bench.harness import benchmark_corpora
+
+    def _twin_parses(path) -> bool:
+        import os
+        import re
+
+        return re.match(r"(random|repetitive|dna)_(\d+)MB",
+                        os.path.basename(str(path))) is not None
     from hpc_suffix_array_tpu.bench.micro import run_micro_benchmark
     from hpc_suffix_array_tpu.datasets.generate import (
         generate_standard_datasets, generate_test_fixtures)
@@ -94,6 +101,16 @@ def main(argv=None) -> int:
     step("corpus sweep",
          lambda: benchmark_corpora(files, results_dir=args.results_dir,
                                    mesh_sizes=tuple(sizes)))
+    if not args.quick:
+        # Same sweep with device-born twin corpora: the file sweep above
+        # proves the IO contract; this one carries the perf information
+        # (file rows are dominated by this environment's ~20-25 MB/s
+        # staging tunnel — README 'Benchmarking notes').
+        step("twin corpus sweep",
+             lambda: benchmark_corpora(
+                 [f for f in files if _twin_parses(f)],
+                 results_dir=args.results_dir, mesh_sizes=(None,),
+                 seq_csv_name="sequential_results_twin.csv", twin=True))
 
     step("performance charts",
          lambda: generate_performance_charts(

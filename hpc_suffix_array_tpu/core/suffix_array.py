@@ -227,13 +227,23 @@ def bucket_size(n: int, multiple_of: int = 1) -> int:
     return -(-n // step) * step
 
 
-def build_suffix_array(text, info: dict | None = None) -> jnp.ndarray:
+def build_suffix_array(text, info: dict | None = None,
+                       text_dev=None) -> jnp.ndarray:
     """Build the suffix array of ``text`` (bytes, str, or uint8 array).
 
     ``info``: optional dict build metadata is copied into — ``path``
     (which builder ran) and, for the carried-keys paths, the ``rerun``
     honesty key when a misprediction re-executed the build (the CLI
     surfaces it as RERUN in STRUCTURED_RESULTS).
+
+    ``text_dev``: optional pre-staged device copy of the text (same
+    bytes, zero-padded). Forwarded to whichever carried-keys builder
+    runs when its padded geometry matches the array's shape —
+    ``bucket_size(n)`` for the direct route, ``chunk_geometry(n)[2]``
+    for the MSD — skipping the host->device stage inside the build
+    (device-resident corpora; see utils/twin.py and the README
+    benchmarking notes for why staging is pathological here). A
+    mismatched shape is ignored (the build stages normally).
 
     The text is padded at the end with a sub-byte sentinel rank to a bucketed
     length: every pad suffix is a strict prefix-of-pads string that ranks
@@ -276,17 +286,24 @@ def build_suffix_array(text, info: dict | None = None) -> jnp.ndarray:
     if n > big_threshold:
         from hpc_suffix_array_tpu.core.bigsort import (
             build_suffix_array_big, build_suffix_array_direct,
-            prefer_direct)
+            chunk_geometry, prefer_direct)
+
+        def dev_for(shape_len: int):
+            return (text_dev if text_dev is not None
+                    and tuple(text_dev.shape) == (shape_len,) else None)
+
         try:
             if prefer_direct(arr, n):
                 try:                    # ONE sort when the triple fits
-                    out = build_suffix_array_direct(arr, info=info)
+                    out = build_suffix_array_direct(
+                        arr, info=info, text_dev=dev_for(bucket_size(n)))
                     if info is not None:
                         info["path"] = "direct"
                     return out
                 except NotImplementedError:
                     pass                # residue overflow: MSD's caps scale
-            out = build_suffix_array_big(arr, info=info)
+            out = build_suffix_array_big(
+                arr, info=info, text_dev=dev_for(chunk_geometry(n)[2]))
             if info is not None:
                 info["path"] = "msd"
             return out

@@ -149,9 +149,11 @@ def generate_comparative_charts(results_dir="results/benchmarks",
     frames = []
     # sequential_results_cpu.csv: the CPU-mesh sweep's own single-device
     # baseline (bench/mesh_sweep.py) — a separate backend line, never a
-    # replacement for the TPU artifact.
-    for name in ("sequential_results.csv", "sequential_results_cpu.csv",
-                 "parallel_results.csv"):
+    # replacement for the TPU artifact. _twin: the device-born corpus
+    # sweep (backend label tpu_twin) — the perf-meaningful line next to
+    # the staging-dominated file rows.
+    for name in ("sequential_results.csv", "sequential_results_twin.csv",
+                 "sequential_results_cpu.csv", "parallel_results.csv"):
         p = rd / name
         if p.exists():
             frames.append(pd.read_csv(p))

@@ -71,6 +71,7 @@ def generate_multi_backend_report(results_dir="results/benchmarks",
     rd = pathlib.Path(results_dir)
     frames = [pd.read_csv(p) for p in
               (rd / "sequential_results.csv",
+               rd / "sequential_results_twin.csv",
                rd / "sequential_results_cpu.csv",
                rd / "parallel_results.csv")
               if p.exists()]
