@@ -469,19 +469,36 @@ def main() -> None:
                 build_lcp_array_sorted, prepare_lcp_sorted)
             from hpc_suffix_array_tpu.utils.twin import twin_corpus
 
-            arr, text_pad = twin_corpus(nl, bucket_size(nl))
+            # Pre-stage at the geometry the ROUTED build will use
+            # (prefer_direct: direct -> bucket_size, MSD -> chunk pad;
+            # random text is never chain-class) — a mismatched dev
+            # would silently restage nl bytes through the ~20 MB/s
+            # tunnel INSIDE the timed region (observed: 18.8 MB/s
+            # "lcp_build" that was really the tunnel, r4).
+            cross_l = int(os.environ.get("SA_DIRECT_CROSS", 1 << 27))
+            dmax_l = int(os.environ.get("SA_DIRECT_MAX", 1 << 28))
+            route_pad = (bucket_size(nl)
+                         if bucket_size(nl) <= min(cross_l, dmax_l)
+                         else chunk_geometry(nl)[2])
+            gen_pad = max(bucket_size(nl), route_pad)
+            arr, dev_l = twin_corpus(nl, gen_pad)
+            # Zero-padded past nl either way, so shape views are slices.
+            text_pad = (dev_l if gen_pad == bucket_size(nl)
+                        else dev_l[:bucket_size(nl)])
+            dev_route = (dev_l if gen_pad == route_pad
+                         else dev_l[:route_pad])
             remap_l, bits_l, h0_l = alphabet_remap(arr)
             sa, _r, _rounds = suffix_array_from_bytes_kernel(
                 text_pad, jnp.asarray(remap_l), bits_l, h0_l, jnp.int32(nl))
             jax.device_get(sa[-1])
 
-            lcp = build_lcp_array(arr, sa, text_dev=text_pad)   # warmup
+            lcp = build_lcp_array(arr, sa, text_dev=dev_route)  # warmup
             jax.device_get(lcp[-1])
             del lcp
             dt = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                lcp = build_lcp_array(arr, sa, text_dev=text_pad)
+                lcp = build_lcp_array(arr, sa, text_dev=dev_route)
                 jax.device_get(lcp[-1])
                 dt = min(dt, time.perf_counter() - t0)
                 del lcp

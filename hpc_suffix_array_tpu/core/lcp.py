@@ -253,13 +253,24 @@ def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
     """
     import os
 
-    arr = jnp.asarray(as_byte_array(text), jnp.uint8)
-    n = int(arr.shape[0])
+    host = as_byte_array(text)
+    n = int(host.shape[0])
     if n == 0:
         return jnp.zeros((0,), jnp.int32)
     sa = jnp.asarray(sa, jnp.int32)
     if sa.shape[0] != n:
         raise ValueError(f"sa length {sa.shape[0]} != text length {n}")
+
+    def arr_dev():
+        # Device text, staged only by the routes that read it (the big
+        # route plans on the host + its own text_dev; staging the whole
+        # text up front cost ~13 s at 2^28 through the tunnel — r4).
+        # A caller-supplied text_dev shares its first n bytes by
+        # contract, so a slice serves instead of a transfer.
+        if text_dev is not None and int(text_dev.shape[0]) >= n:
+            return text_dev[:n]
+        return jnp.asarray(host, jnp.uint8)
+
     if n > int(os.environ.get("SA_LCP_BIG_MIN", 1 << 23)):
         derived = _sa_lcp_big(text, n, text_dev=text_dev)
         if derived is not None:
@@ -277,10 +288,10 @@ def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
             if os.environ.get("SA_LCP_FETCH", "sorted") == "window":
                 from hpc_suffix_array_tpu.core.lcp_window import (
                     build_lcp_array_window)
-                return build_lcp_array_window(arr, sa)
+                return build_lcp_array_window(arr_dev(), sa)
             from hpc_suffix_array_tpu.core.lcp_window import (
                 build_lcp_array_sorted)
-            return build_lcp_array_sorted(arr, sa)
+            return build_lcp_array_sorted(arr_dev(), sa)
         except NotImplementedError:
             # Degenerate tie structure (deep non-periodic repeats) that
             # both the carried-keys and window finishers refuse: the
@@ -291,7 +302,7 @@ def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
             if n > int(os.environ.get("SA_LCP_PLCP_MAX", 1 << 23)):
                 raise
     elif (n >= int(os.environ.get("SA_LCP_CHAIN_MIN", 1 << 14))
-          and _deep_repeat(np.asarray(as_byte_array(text)), n)):
+          and _deep_repeat(np.asarray(host), n)):
         # Mid-size texts with DEEP repeats (the reference's repetitive
         # family below the window/big thresholds): the PLCP loop pays
         # ~log2(repeat/CMP_WIDTH) host-driven rounds of scan-class
@@ -312,7 +323,7 @@ def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
                     "text (carried-keys build) and cross-checks `sa`; pass "
                     "the true SA or call build_sa_lcp(text)")
             return lcp
-    plcp = plcp_kernel(arr, sa)
+    plcp = plcp_kernel(arr_dev(), sa)
     return lcp_from_plcp(plcp, sa)
 
 
