@@ -72,12 +72,20 @@ def run(text: np.ndarray, filename: str, backend: str, n_devices: int | None,
             # these sizes a standalone LCP pass would redo the same
             # full-text sort (see core/lcp.build_lcp_array).
             from hpc_suffix_array_tpu.core.bigsort import (
-                build_suffix_array_direct, prefer_direct)
+                build_suffix_array_direct, estimate_repeat_len,
+                prefer_direct)
+            from hpc_suffix_array_tpu.core.suffix_array import (
+                alphabet_remap, as_byte_array)
 
-            if prefer_direct(text, n):
+            arr = as_byte_array(text)
+            remap, _, _ = alphabet_remap(arr)
+            est = estimate_repeat_len(arr)
+            if prefer_direct(arr, n, est_repeat=est,
+                             sigma=int(remap.max())):
                 try:
                     combined = build_suffix_array_direct(
-                        text, want_lcp=True, info=info)
+                        text, want_lcp=True, info=info, remap=remap,
+                        est_repeat=est)
                 except NotImplementedError:
                     combined = None
         sa = _fence(combined[0] if combined is not None

@@ -796,13 +796,19 @@ def chunk_geometry(n: int, chunk_elems: int | None = None
 
 def prepare_big(text, *, target_bucket: int | None = None,
                 chunk_elems: int | None = None, sample: int = 1 << 21,
-                text_dev=None):
+                text_dev=None, remap: np.ndarray | None = None,
+                est_repeat: int | None = None):
     """Stage the text on device and build the host plan (untimed setup).
 
     ``text_dev``: optional pre-staged device copy of the text, padded to
     ``chunk_geometry(n, chunk_elems)[2]`` with zeros past n (skips the
     host->device transfer; the host ``text`` must hold the same bytes —
     it feeds edge sampling and residue resolution).
+
+    ``remap``/``est_repeat``: precomputed planning products for the same
+    bytes (alphabet_remap table / estimate_repeat_len) — routers that
+    already scanned the text to pick this path pass them to skip the
+    re-scan (a full-text pass each, ~0.6 s/2^28 on this host).
     """
     arr = as_byte_array(text)
     n = int(arr.shape[0])
@@ -820,7 +826,8 @@ def prepare_big(text, *, target_bucket: int | None = None,
         # is how the step structure was found).
         target_bucket = int(os.environ.get("SA_TARGET_BUCKET", 8_060_000))
     m, n_chunks, pad_len = chunk_geometry(n, chunk_elems)
-    remap, _, _ = alphabet_remap(arr)
+    if remap is None:
+        remap, _, _ = alphabet_remap(arr)
     bits, spw, minpad = packing_mode(remap)
     e0, e1, fill_frac = sample_edges(arr, remap, spw, bits, target_bucket,
                                      sample=sample, with_fracs=True,
@@ -838,7 +845,9 @@ def prepare_big(text, *, target_bucket: int | None = None,
     return {
         "plan": BigPlan(n=n, m=m, n_chunks=n_chunks, bits=bits, spw=spw,
                         remap=remap, e0=e0, e1=e1, minpad=minpad,
-                        meta={"est_repeat": estimate_repeat_len(arr),
+                        meta={"est_repeat": (estimate_repeat_len(arr)
+                                             if est_repeat is None
+                                             else est_repeat),
                               "target_bucket": target_bucket,
                               "fill_frac": fill_frac}),
         "text_pad": text_dev,
@@ -1500,7 +1509,8 @@ def residue_feasible_sigma(sigma: int, n: int, cap: float,
 
 def residue_feasible(arr: np.ndarray, n: int, cap: float,
                      est_repeat: int | None = None,
-                     words: int = 2, spw: int | None = None) -> bool:
+                     words: int = 2, spw: int | None = None,
+                     sigma: int | None = None) -> bool:
     """Expected window-tied residue fits ``cap`` — or the text looks
     globally periodic, where the chain rule resolves ties analytically
     with no cap. Shared gate for the carried-keys paths (direct, and
@@ -1512,9 +1522,15 @@ def residue_feasible(arr: np.ndarray, n: int, cap: float,
     falls back. ``spw`` defaults to the packing_mode density for the
     text's alphabet; the parameter exists so callers that already
     computed their packing geometry can pass it and skip the rescan
-    (every carried-keys builder packs via packing_mode today)."""
-    remap, _, _ = alphabet_remap(arr)
-    sigma = max(int(remap.max()), 2)
+    (every carried-keys builder packs via packing_mode today).
+    ``sigma``/``est_repeat``: precomputed planning products — the
+    alphabet scan is a full-text pass (~0.6 s/2^28 on this host), so
+    routers that call several gates on the same text compute them once
+    and thread them through (see e.g. core/lcp._sa_lcp_big)."""
+    if sigma is None:
+        remap, _, _ = alphabet_remap(arr)
+        sigma = int(remap.max())
+    sigma = max(int(sigma), 2)
     if spw is None:
         spw = packing_from_sigma(sigma)[1]
     log_pred = 2 * math.log(n) - words * spw * math.log(sigma)
@@ -1526,7 +1542,8 @@ def residue_feasible(arr: np.ndarray, n: int, cap: float,
 
 
 def direct_feasible(arr: np.ndarray, n: int,
-                    est_repeat: int | None = None) -> bool:
+                    est_repeat: int | None = None,
+                    sigma: int | None = None) -> bool:
     """Host-side gate for the direct path: the triple must fit one sort
     (SA_DIRECT_MAX) and the expected window-tied residue must fit the
     extraction cap (see residue_feasible)."""
@@ -1539,13 +1556,15 @@ def direct_feasible(arr: np.ndarray, n: int,
     # 113.8 — experiments/routing_direct.py 2026-08-18).
     if bucket_size(n) > int(os.environ.get("SA_DIRECT_MAX", 1 << 28)):
         return False
-    return (residue_feasible(arr, n, RESIDUE_SLOTS / 4, est_repeat)
+    return (residue_feasible(arr, n, RESIDUE_SLOTS / 4, est_repeat,
+                             sigma=sigma)
             or residue_feasible(arr, n, RESIDUE_SLOTS / 4, est_repeat,
-                                words=3))
+                                words=3, sigma=sigma))
 
 
 def prefer_direct(arr: np.ndarray, n: int,
-                  est_repeat: int | None = None) -> bool:
+                  est_repeat: int | None = None,
+                  sigma: int | None = None) -> bool:
     """Routing preference between the two carried-keys builders.
 
     ``direct_feasible`` answers "CAN the one-sort path run" (memory cap
@@ -1568,7 +1587,7 @@ def prefer_direct(arr: np.ndarray, n: int,
     phase + residue extraction the direct chain build avoids (p1000 at
     2^28: direct 179.8 vs MSD 110.1).
     """
-    if not direct_feasible(arr, n, est_repeat):
+    if not direct_feasible(arr, n, est_repeat, sigma=sigma):
         return False
     cross = int(os.environ.get("SA_DIRECT_CROSS", 1 << 27))
     if bucket_size(n) <= cross:
@@ -1581,7 +1600,9 @@ def prefer_direct(arr: np.ndarray, n: int,
     return est_repeat > 16
 
 
-def prepare_direct(text, *, text_dev=None, n_words: int | None = None):
+def prepare_direct(text, *, text_dev=None, n_words: int | None = None,
+                   remap: np.ndarray | None = None,
+                   est_repeat: int | None = None):
     """Stage the text for the direct one-sort build (untimed setup).
 
     ``text_dev``: optional device copy padded to ``bucket_size(n)``
@@ -1590,20 +1611,27 @@ def prepare_direct(text, *, text_dev=None, n_words: int | None = None):
 
     ``n_words``: carried key words (default: auto — 2, or 3 when 2
     words' expected residue overflows the extraction cap but 3 words'
-    fits; the small-alphabet case, e.g. DNA past ~2^26)."""
+    fits; the small-alphabet case, e.g. DNA past ~2^26).
+
+    ``remap``/``est_repeat``: precomputed planning products (see
+    prepare_big)."""
     arr = as_byte_array(text)
     n = int(arr.shape[0])
     if n < 8:
         raise ValueError("direct sort needs n >= 8; use build_suffix_array")
-    remap, _, _ = alphabet_remap(arr)
+    if remap is None:
+        remap, _, _ = alphabet_remap(arr)
     bits, spw, minpad = packing_mode(remap)
-    est_repeat = estimate_repeat_len(arr)
+    if est_repeat is None:
+        est_repeat = estimate_repeat_len(arr)
+    sigma = int(remap.max())
     nw = n_words
     if nw is None:
         nw = 2
-        if not residue_feasible(arr, n, RESIDUE_SLOTS / 4, est_repeat):
+        if not residue_feasible(arr, n, RESIDUE_SLOTS / 4, est_repeat,
+                                sigma=sigma):
             if residue_feasible(arr, n, RESIDUE_SLOTS / 4, est_repeat,
-                                words=3):
+                                words=3, sigma=sigma):
                 nw = 3
     n_pad = bucket_size(n)
     if text_dev is not None and tuple(text_dev.shape) == (n_pad,):

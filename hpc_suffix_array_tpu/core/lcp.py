@@ -169,22 +169,30 @@ def _sa_lcp_big(text, n: int, text_dev=None):
     corpora — the tunnel staging quirk, README 'Benchmarking notes')."""
     from hpc_suffix_array_tpu.core.bigsort import (
         build_suffix_array_big, build_suffix_array_direct, chunk_geometry,
-        prefer_direct)
-    from hpc_suffix_array_tpu.core.suffix_array import bucket_size
+        estimate_repeat_len, prefer_direct)
+    from hpc_suffix_array_tpu.core.suffix_array import (
+        alphabet_remap, bucket_size)
 
     host = np.asarray(as_byte_array(text))   # host copy for planning
-    if prefer_direct(host, n):
+    # Planning products computed ONCE and threaded through the gate and
+    # the chosen builder — each is a full-text host pass (~0.6 s/2^28),
+    # and this router otherwise triggers three of them.
+    remap, _, _ = alphabet_remap(host)
+    est = estimate_repeat_len(host)
+    if prefer_direct(host, n, est_repeat=est, sigma=int(remap.max())):
         dev = (text_dev if text_dev is not None
                and tuple(text_dev.shape) == (bucket_size(n),) else None)
         try:
             return build_suffix_array_direct(host, want_lcp=True,
-                                             text_dev=dev)
+                                             text_dev=dev, remap=remap,
+                                             est_repeat=est)
         except NotImplementedError:
             pass
     dev = (text_dev if text_dev is not None
            and tuple(text_dev.shape) == (chunk_geometry(n)[2],) else None)
     try:
-        return build_suffix_array_big(host, want_lcp=True, text_dev=dev)
+        return build_suffix_array_big(host, want_lcp=True, text_dev=dev,
+                                      remap=remap, est_repeat=est)
     except NotImplementedError:
         return None
 

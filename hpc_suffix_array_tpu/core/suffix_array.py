@@ -286,24 +286,31 @@ def build_suffix_array(text, info: dict | None = None,
     if n > big_threshold:
         from hpc_suffix_array_tpu.core.bigsort import (
             build_suffix_array_big, build_suffix_array_direct,
-            chunk_geometry, prefer_direct)
+            chunk_geometry, estimate_repeat_len, prefer_direct)
 
         def dev_for(shape_len: int):
             return (text_dev if text_dev is not None
                     and tuple(text_dev.shape) == (shape_len,) else None)
 
+        # One alphabet/repeat scan feeds the routing gate AND the chosen
+        # builder's plan (each re-scan is a full-text host pass).
+        remap, _, _ = alphabet_remap(arr)
+        est = estimate_repeat_len(arr)
         try:
-            if prefer_direct(arr, n):
+            if prefer_direct(arr, n, est_repeat=est,
+                             sigma=int(remap.max())):
                 try:                    # ONE sort when the triple fits
                     out = build_suffix_array_direct(
-                        arr, info=info, text_dev=dev_for(bucket_size(n)))
+                        arr, info=info, text_dev=dev_for(bucket_size(n)),
+                        remap=remap, est_repeat=est)
                     if info is not None:
                         info["path"] = "direct"
                     return out
                 except NotImplementedError:
                     pass                # residue overflow: MSD's caps scale
             out = build_suffix_array_big(
-                arr, info=info, text_dev=dev_for(chunk_geometry(n)[2]))
+                arr, info=info, text_dev=dev_for(chunk_geometry(n)[2]),
+                remap=remap, est_repeat=est)
             if info is not None:
                 info["path"] = "msd"
             return out
@@ -319,13 +326,15 @@ def build_suffix_array(text, info: dict | None = None,
             try:
                 if prefer_direct(arr, n, est_repeat=est):
                     try:
-                        out = build_suffix_array_direct(arr, info=info)
+                        out = build_suffix_array_direct(arr, info=info,
+                                                        est_repeat=est)
                         if info is not None:
                             info["path"] = "direct"
                         return out
                     except NotImplementedError:
                         pass
-                out = build_suffix_array_big(arr, info=info)
+                out = build_suffix_array_big(arr, info=info,
+                                             est_repeat=est)
                 if info is not None:
                     info["path"] = "msd"
                 return out
