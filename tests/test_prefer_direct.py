@@ -67,3 +67,33 @@ def test_est_repeat_hint_respected(knobs):
     t = _random_text(3 << 14)
     assert prefer_direct(t, len(t), est_repeat=1000)
     assert not prefer_direct(t, len(t), est_repeat=4)
+
+
+def test_precomputed_products_match_recomputed(knobs):
+    # The r4 planning-dedup contract: passing sigma/est_repeat through
+    # the gates and remap/est_repeat into the prepares must be
+    # equivalent to letting each step re-scan the text (the routers
+    # thread one scan through — core/suffix_array, core/lcp, cli).
+    from hpc_suffix_array_tpu.core.bigsort import (
+        direct_feasible, estimate_repeat_len, prepare_direct,
+        residue_feasible)
+    from hpc_suffix_array_tpu.core.suffix_array import alphabet_remap
+
+    for t in (_random_text(1 << 13), _periodic_text(1 << 13)):
+        n = len(t)
+        remap, _, _ = alphabet_remap(t)
+        sigma = int(remap.max())
+        est = estimate_repeat_len(t)
+        assert prefer_direct(t, n) == prefer_direct(
+            t, n, est_repeat=est, sigma=sigma)
+        assert direct_feasible(t, n) == direct_feasible(
+            t, n, est, sigma=sigma)
+        for words in (2, 3):
+            assert residue_feasible(t, n, 64.0, words=words) == \
+                residue_feasible(t, n, 64.0, est, words=words, sigma=sigma)
+        a = prepare_direct(t)
+        b = prepare_direct(t, remap=remap, est_repeat=est)
+        assert (a["n"], a["n_pad"], a["bits"], a["spw"], a["nw"],
+                a["minpad"], a["meta"]["est_repeat"]) == \
+               (b["n"], b["n_pad"], b["bits"], b["spw"], b["nw"],
+                b["minpad"], b["meta"]["est_repeat"])
