@@ -242,11 +242,13 @@ def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
     adjacent xor+clz on the carried sort keys; the direct one-sort
     build while preferred, else the fine-geometry MSD — prefer_direct):
     even though that path re-derives the suffix order from the text,
-    the full SA+LCP rebuild outruns the standalone sorted-fetch pass
-    (v5e r4: MSD want_lcp 193.3 vs sorted-fetch 103.5 MB/s at 2^28,
-    212.5 at 2^30; r2 direct 152.4 vs ~99 at 2^24 — the sorted-fetch
-    permutation sorts can't chunk, so their per-element bitonic cost
-    grows with n, and beyond 256 MiB they stop fitting HBM anyway). Because that route
+    the full SA+LCP rebuild outruns or matches the standalone
+    sorted-fetch pass at every size it serves (v5e r4 full standalone
+    calls incl. planning: rebuild 152.4 vs sorted-fetch ~99 MB/s at
+    2^24, 95-104 vs 103.5 at 2^28 — within process noise of each
+    other there — and beyond 256 MiB the sorted-fetch permutation
+    sorts stop fitting HBM, where the rebuild still runs: 218 MB/s
+    SA+LCP at 2^30). Because that route
     re-derives the order, the supplied ``sa`` is cross-checked against
     the derived one (a single fused equality-reduce on device — the
     array was already staged) and a mismatch raises ValueError: a
