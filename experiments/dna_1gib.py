@@ -8,10 +8,14 @@ History: under reserved-0 packing (20 carried symbols) this was the
 heavy-residue stress — n^2 * 4^-20 ~ 2^20 window-tied pairs (measured
 1,050,967), 4.6 s of a 12.8 s build (84.0 MB/s, r3 session 1). Min-pad
 packing (packing_from_sigma: 2-bit codes, 30 carried symbols) collapses
-the prediction to n^2 * 4^-30 ~ 1: measured 2026-08-19 — **166.6 MB/s,
-0 patched pairs** (phases scatter 3.62 / bucket 2.71 / residue 0.0),
-host-validated exact by the native O(n) validator. DNA now matches the
-alnum headline (168.6) at the full 1 GiB scale.
+the prediction to n^2 * 4^-30 ~ 1: measured 2026-08-19 — 166.6 MB/s,
+0 patched pairs (phases scatter 3.62 / bucket 2.71 / residue 0.0),
+host-validated exact by the native O(n) validator. Re-measured
+2026-08-20 on the r4 sub-2^23 geometry (SA_TARGET_BUCKET planning +
+7*2^20 chunks, which took alnum 168.6 -> 218.9): **215.2 MB/s, 0
+patched pairs** (phases scatter 2.79 / bucket 2.10 / residue 0.0),
+host-validated exact again. DNA tracks the alnum headline (221.9) at
+the full 1 GiB scale.
 
 Usage: python experiments/dna_1gib.py [log2_n]
 """
