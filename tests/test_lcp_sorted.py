@@ -130,3 +130,37 @@ def test_random_midsize_stays_on_plcp(rng, monkeypatch):
     sa = np.asarray(suffix_array_oracle(text.tobytes()))
     lcp = np.asarray(L.build_lcp_array(text, sa))
     assert np.array_equal(lcp, np.asarray(lcp_oracle(text, sa)))
+
+
+def test_text_dev_sliced_not_restaged(rng, monkeypatch):
+    """A caller-supplied text_dev whose FIRST n bytes match the text is
+    sliced and used directly by the window routes (the r4 contract that
+    keeps bench staging out of the timed region) — bytes past n must
+    never influence the result."""
+    import jax.numpy as jnp
+
+    from hpc_suffix_array_tpu.core.lcp import build_lcp_array
+    from hpc_suffix_array_tpu.core.oracle import suffix_array_oracle
+
+    monkeypatch.setenv("SA_LCP_WINDOW_MIN", "10000")
+    monkeypatch.setenv("SA_LCP_BIG_MIN", "1000000")
+    text = ALNUM[rng.integers(0, 62, 50_000)]
+    sa = np.asarray(suffix_array_oracle(text.tobytes()))
+    want = np.asarray(build_lcp_array(text, sa))
+
+    # Longer device buffer, garbage past n (NOT zeros: zeros could hide
+    # an off-by-one that reads the pad as a real min symbol).
+    dev = jnp.asarray(np.concatenate(
+        [text, rng.integers(0, 256, 7777).astype(np.uint8)]))
+    got = np.asarray(build_lcp_array(text, sa, text_dev=dev))
+    assert np.array_equal(got, want)
+
+    # PLCP route (below the window threshold) honors the same contract.
+    monkeypatch.setenv("SA_LCP_WINDOW_MIN", str(1 << 22))
+    small = text[:5000]
+    sa_s = np.asarray(suffix_array_oracle(small.tobytes()))
+    want_s = np.asarray(build_lcp_array(small, sa_s))
+    dev_s = jnp.asarray(np.concatenate(
+        [small, rng.integers(0, 256, 321).astype(np.uint8)]))
+    got_s = np.asarray(build_lcp_array(small, sa_s, text_dev=dev_s))
+    assert np.array_equal(got_s, want_s)
