@@ -171,6 +171,26 @@ def main() -> int:
     check_shards(l_hi, np.asarray(lcp_oracle(t_c, want_c), np.int64),
                  "msd-wide-lcp", scale=m_c, col_lo=l_lo)
 
+    # (d) min-pad packing family (power-of-two alphabet): sigma=4 from
+    # the device histogram selects 2-bit minpad codes. A long run of
+    # the MINIMUM symbol at the text end makes real suffixes pack to
+    # all-zero keys — the shard-0 boundary case whose manufactured
+    # predecessor also carries key 0 (see parallel/bigsort._boundary_
+    # prev) — and a planted repeat forces residue ties resolved through
+    # the window gathers under minpad (clamped LCP at group edges).
+    dna = np.frombuffer(b"ACGT", np.uint8)
+    t_d = dna[rng.integers(0, 4, 8 * 4096)]
+    t_d[1000:1100] = t_d[17000:17100]
+    t_d[-600:] = ord("A")               # min symbol tail run
+    n_d = len(t_d)
+    n_pad, start, stop = mp_local_geometry(n_d, mesh)
+    sa_pad, lcp_pad = build_suffix_array_sharded_big_mp(
+        local_feed(t_d, n_pad, start, stop), n_d, mesh, want_lcp=True)
+    want_d = np.asarray(suffix_array_oracle(t_d.tobytes()), np.int64)
+    check_shards(sa_pad, want_d, "msd-minpad-sa")
+    check_shards(lcp_pad, np.asarray(lcp_oracle(t_d, want_d), np.int64),
+                 "msd-minpad-lcp")
+
     print(f"MULTIHOST_MSD_OK proc={proc_id}", flush=True)
     return 0
 
