@@ -469,20 +469,19 @@ def main() -> None:
                 build_lcp_array_sorted, prepare_lcp_sorted)
             from hpc_suffix_array_tpu.utils.twin import twin_corpus
 
-            # Pre-stage at the geometry the ROUTED build will use
-            # (prefer_direct: direct -> bucket_size, MSD -> chunk pad;
-            # random text is never chain-class) — a mismatched dev
-            # would silently restage nl bytes through the ~20 MB/s
-            # tunnel INSIDE the timed region (observed: 18.8 MB/s
-            # "lcp_build" that was really the tunnel, r4).
-            cross_l = int(os.environ.get("SA_DIRECT_CROSS", 1 << 27))
-            dmax_l = int(os.environ.get("SA_DIRECT_MAX", 1 << 28))
-            route_pad = (bucket_size(nl)
-                         if bucket_size(nl) <= min(cross_l, dmax_l)
-                         else chunk_geometry(nl)[2])
-            gen_pad = max(bucket_size(nl), route_pad)
+            # Pre-stage at the geometry the ROUTED build will use —
+            # a mismatched dev would silently restage nl bytes through
+            # the ~20 MB/s tunnel INSIDE the timed region (observed:
+            # 18.8 MB/s "lcp_build" that was really the tunnel, r4).
+            # Generate once at the largest geometry any route reads
+            # (zero-padded past nl, so shape views are slices), then ask
+            # the LIBRARY's own gate which route will run — a local
+            # re-implementation of prefer_direct drifted once already.
+            from hpc_suffix_array_tpu.core.bigsort import prefer_direct
+            gen_pad = max(bucket_size(nl), chunk_geometry(nl)[2])
             arr, dev_l = twin_corpus(nl, gen_pad)
-            # Zero-padded past nl either way, so shape views are slices.
+            route_pad = (bucket_size(nl) if prefer_direct(arr, nl)
+                         else chunk_geometry(nl)[2])
             text_pad = (dev_l if gen_pad == bucket_size(nl)
                         else dev_l[:bucket_size(nl)])
             dev_route = (dev_l if gen_pad == route_pad

@@ -133,6 +133,16 @@ def main():
         if i % 10 == 0:
             print(f"{i} draws ok ({time.time() + minutes * 60 - deadline:.0f}"
                   f"s elapsed)", flush=True)
+        if i % 50 == 0:
+            # Every draw compiles fresh randomized shapes (~5 address
+            # mappings per XLA:CPU executable, measured); past ~200
+            # draws the process exhausts vm.max_map_count (65530) and
+            # LLVM dies with 'Cannot allocate memory' despite ~122 GB
+            # free (observed twice, 2026-08-20). Dropping the
+            # executable cache unmaps the JIT code pages.
+            import jax
+
+            jax.clear_caches()
     print(f"SOAK PASS: {i} draws, no mismatch", flush=True)
 
 

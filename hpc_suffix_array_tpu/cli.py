@@ -70,24 +70,18 @@ def run(text: np.ndarray, filename: str, backend: str, n_devices: int | None,
         if n > int(_os.environ.get("SA_LCP_BIG_MIN", 1 << 23)):
             # One carried-keys pass yields SA and LCP together — at
             # these sizes a standalone LCP pass would redo the same
-            # full-text sort (see core/lcp.build_lcp_array).
-            from hpc_suffix_array_tpu.core.bigsort import (
-                build_suffix_array_direct, estimate_repeat_len,
-                prefer_direct)
-            from hpc_suffix_array_tpu.core.suffix_array import (
-                alphabet_remap, as_byte_array)
+            # full-text sort (see core/lcp.build_lcp_array). The fused
+            # router serves BOTH carried-keys builders (direct through
+            # SA_DIRECT_CROSS, the fine-geometry MSD above — the r4
+            # crossover), where routing only the direct path here left
+            # every MSD-class file paying the full build twice. In the
+            # rare case the router's internal fallback builds SA and
+            # LCP separately, both land in the SA phase below — the
+            # timing split favors honesty about the fused path over
+            # attributing a synthetic LCP_TIME.
+            from hpc_suffix_array_tpu.core.lcp import build_sa_lcp
 
-            arr = as_byte_array(text)
-            remap, _, _ = alphabet_remap(arr)
-            est = estimate_repeat_len(arr)
-            if prefer_direct(arr, n, est_repeat=est,
-                             sigma=int(remap.max())):
-                try:
-                    combined = build_suffix_array_direct(
-                        text, want_lcp=True, info=info, remap=remap,
-                        est_repeat=est)
-                except NotImplementedError:
-                    combined = None
+            combined = build_sa_lcp(text, info=info)
         sa = _fence(combined[0] if combined is not None
                     else build_suffix_array(text, info=info))
     t1 = time.perf_counter()

@@ -1530,15 +1530,14 @@ def residue_feasible(arr: np.ndarray, n: int, cap: float,
     if sigma is None:
         remap, _, _ = alphabet_remap(arr)
         sigma = int(remap.max())
-    sigma = max(int(sigma), 2)
-    if spw is None:
-        spw = packing_from_sigma(sigma)[1]
-    log_pred = 2 * math.log(n) - words * spw * math.log(sigma)
-    if log_pred < math.log(max(cap, 2.0)):
+    # Single source of truth for the arithmetic: residue_feasible_sigma.
+    # est_repeat=0 probes the cap-only accept first so the repeat scan
+    # stays lazy (only texts whose prediction overflows pay it).
+    if residue_feasible_sigma(sigma, n, cap, 0, words, spw):
         return True
     if est_repeat is None:
         est_repeat = estimate_repeat_len(arr)
-    return est_repeat > words * spw      # periodic: chain rule, no cap
+    return residue_feasible_sigma(sigma, n, cap, est_repeat, words, spw)
 
 
 def direct_feasible(arr: np.ndarray, n: int,

@@ -159,14 +159,18 @@ def lcp_from_plcp(plcp: jnp.ndarray, sa: jnp.ndarray):
     return lcp.at[0].set(0) if n else lcp
 
 
-def _sa_lcp_big(text, n: int, text_dev=None):
+def _sa_lcp_big(text, n: int, text_dev=None, info=None):
     """(sa, lcp) via the carried-keys machinery, or None when the text is
     too degenerate for it (the window paths handle those).
 
     ``text_dev``: optional pre-staged device copy of the text (same
     bytes, zero-padded); forwarded to whichever builder's padded
     geometry it matches, skipping the host->device stage (bench/twin
-    corpora — the tunnel staging quirk, README 'Benchmarking notes')."""
+    corpora — the tunnel staging quirk, README 'Benchmarking notes').
+
+    ``info``: optional dict the chosen builder's meta lands in (rerun
+    honesty keys, chain_mode, n_patched — see build_suffix_array_big);
+    this router adds ``info["path"]``."""
     from hpc_suffix_array_tpu.core.bigsort import (
         build_suffix_array_big, build_suffix_array_direct, chunk_geometry,
         estimate_repeat_len, prefer_direct)
@@ -183,21 +187,28 @@ def _sa_lcp_big(text, n: int, text_dev=None):
         dev = (text_dev if text_dev is not None
                and tuple(text_dev.shape) == (bucket_size(n),) else None)
         try:
-            return build_suffix_array_direct(host, want_lcp=True,
-                                             text_dev=dev, remap=remap,
-                                             est_repeat=est)
+            out = build_suffix_array_direct(host, want_lcp=True,
+                                            text_dev=dev, remap=remap,
+                                            est_repeat=est, info=info)
+            if info is not None:
+                info["path"] = "direct"
+            return out
         except NotImplementedError:
             pass
     dev = (text_dev if text_dev is not None
            and tuple(text_dev.shape) == (chunk_geometry(n)[2],) else None)
     try:
-        return build_suffix_array_big(host, want_lcp=True, text_dev=dev,
-                                      remap=remap, est_repeat=est)
+        out = build_suffix_array_big(host, want_lcp=True, text_dev=dev,
+                                     remap=remap, est_repeat=est,
+                                     info=info)
+        if info is not None:
+            info["path"] = "msd"
+        return out
     except NotImplementedError:
         return None
 
 
-def build_sa_lcp(text) -> tuple[jnp.ndarray, jnp.ndarray]:
+def build_sa_lcp(text, *, info=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused (suffix array, LCP array) build — the contract the reference
     CLI always serves (SA_TIME + LCP_TIME per run, main_sequential.c:41-49).
 
@@ -206,18 +217,21 @@ def build_sa_lcp(text) -> tuple[jnp.ndarray, jnp.ndarray]:
     for benchmark-scale texts, where a separate SA-then-LCP pair of calls
     would re-derive the suffix order twice. Below it, the standard
     builders run back to back.
+
+    ``info``: optional dict for build metadata (path, rerun honesty
+    keys — see build_suffix_array).
     """
     import os
 
     arr = as_byte_array(text)
     n = int(arr.shape[0])
     if n > int(os.environ.get("SA_LCP_BIG_MIN", 1 << 23)):
-        derived = _sa_lcp_big(arr, n)
+        derived = _sa_lcp_big(arr, n, info=info)
         if derived is not None:
             return derived
     from hpc_suffix_array_tpu.core.suffix_array import build_suffix_array
 
-    sa = build_suffix_array(arr)
+    sa = build_suffix_array(arr, info=info)
     return sa, build_lcp_array(arr, sa)
 
 
@@ -258,8 +272,12 @@ def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
     it blindly; see also ``build_sa_lcp`` for the fused build that
     needs no precomputed SA.
 
-    ``text_dev``: optional pre-staged device copy of the text for the
-    big route (must hold the same bytes; see _sa_lcp_big).
+    ``text_dev``: optional pre-staged uint8 device copy of the text
+    (first n bytes equal to ``text``; may be longer/padded). The big
+    route forwards it to whichever builder's padded geometry it
+    matches (see _sa_lcp_big); the window and PLCP routes slice its
+    first n bytes instead of staging the text again. Anything not
+    matching the contract (shorter than n, or non-uint8) is ignored.
     """
     import os
 
@@ -276,13 +294,17 @@ def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
         # route plans on the host + its own text_dev; staging the whole
         # text up front cost ~13 s at 2^28 through the tunnel — r4).
         # A caller-supplied text_dev shares its first n bytes by
-        # contract, so a slice serves instead of a transfer.
-        if text_dev is not None and int(text_dev.shape[0]) >= n:
+        # contract, so a slice serves instead of a transfer. Anything
+        # that is not a uint8 array of at least n bytes is NOT that
+        # contract — ignore it and stage, rather than feed a wider
+        # dtype into the packing kernels.
+        if (text_dev is not None and int(text_dev.shape[0]) >= n
+                and text_dev.dtype == jnp.uint8):
             return text_dev[:n]
         return jnp.asarray(host, jnp.uint8)
 
     if n > int(os.environ.get("SA_LCP_BIG_MIN", 1 << 23)):
-        derived = _sa_lcp_big(text, n, text_dev=text_dev)
+        derived = _sa_lcp_big(host, n, text_dev=text_dev)
         if derived is not None:
             _sa, lcp = derived
             if not bool(jax.device_get(jnp.all(_sa == sa))):
@@ -323,7 +345,7 @@ def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
         # periodic text at any n). Cross-check the supplied sa exactly
         # like the big route; refusals fall through to the PLCP rounds,
         # which remain the any-skew closer at these sizes.
-        derived = _sa_lcp_big(text, n, text_dev=text_dev)
+        derived = _sa_lcp_big(host, n, text_dev=text_dev)
         if derived is not None:
             _sa, lcp = derived
             if not bool(jax.device_get(jnp.all(_sa == sa))):
