@@ -135,6 +135,11 @@ def run(text: np.ndarray, filename: str, backend: str, n_devices: int | None,
         "valid": valid,
         "lrs_length": len(lrs) if lrs else 0,
     }
+    if info.get("path"):
+        # Observability: which builder served the request (direct /
+        # msd / doubling) — extra STRUCTURED key, ignored by the
+        # reference-dialect regex parsers like RERUN below.
+        results["path"] = info["path"]
     if info.get("rerun"):
         # Honesty key: a routing misprediction (chain direction or
         # count-free capacity overflow) re-executed the build's passes;
@@ -168,6 +173,8 @@ def _print_structured(r: dict, dialect: str, out) -> None:
         print(f"SA_TIME:{r['sa_time']:.6f}", file=out)
         print(f"LCP_TIME:{r['lcp_time']:.6f}", file=out)
         print(f"PROCESSES:{r['processes']}", file=out)
+        if r.get("path"):
+            print(f"PATH:{r['path']}", file=out)
         if r.get("rerun"):
             print(f"RERUN:{r['rerun']}", file=out)
         print("===END_RESULTS===\n", file=out)
