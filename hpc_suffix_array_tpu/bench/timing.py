@@ -81,8 +81,27 @@ def _pipeline(arr, mesh, timings: PhaseTimings | None, text_dev=None):
             return contextlib.nullcontext({})
         return phase_timer(timings, name, fence_fn=_strong_fence)
 
+    # Mirror the CLI's production route (cli.py): above SA_LCP_BIG_MIN
+    # one fused carried-keys pass yields SA and LCP together — timing
+    # the standalone builders back to back would charge the full-text
+    # sort twice, a cost no CLI user pays. The fused build lands in the
+    # sa phase; the lcp phase is its fence (the reference equally
+    # attributes per-phase time as the program actually runs,
+    # main_sequential.c:97-117). bench.py's `lcp_build` metric still
+    # measures the standalone build_lcp_array route separately.
+    import os
+
+    fused = None
+    if mesh is None and int(arr.shape[0]) > int(
+            os.environ.get("SA_LCP_BIG_MIN", 1 << 23)):
+        from hpc_suffix_array_tpu.core.lcp import build_sa_lcp
+
+        fused = build_sa_lcp
+
     with phase("sa_build") as out:
-        if mesh is None:
+        if fused is not None:
+            sa, lcp = fused(arr, text_dev=text_dev)
+        elif mesh is None:
             sa = build_suffix_array(arr, text_dev=text_dev)
         else:
             from hpc_suffix_array_tpu.parallel import build_suffix_array_sharded
@@ -92,7 +111,9 @@ def _pipeline(arr, mesh, timings: PhaseTimings | None, text_dev=None):
         _strong_fence(sa)
 
     with phase("lcp_build") as out:
-        if mesh is None:
+        if fused is not None:
+            pass                        # lcp already built above
+        elif mesh is None:
             lcp = build_lcp_array(arr, sa, text_dev=text_dev)
         else:
             from hpc_suffix_array_tpu.parallel import build_lcp_array_sharded

@@ -208,7 +208,8 @@ def _sa_lcp_big(text, n: int, text_dev=None, info=None):
         return None
 
 
-def build_sa_lcp(text, *, info=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+def build_sa_lcp(text, *, info=None,
+                 text_dev=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused (suffix array, LCP array) build — the contract the reference
     CLI always serves (SA_TIME + LCP_TIME per run, main_sequential.c:41-49).
 
@@ -220,19 +221,22 @@ def build_sa_lcp(text, *, info=None) -> tuple[jnp.ndarray, jnp.ndarray]:
 
     ``info``: optional dict for build metadata (path, rerun honesty
     keys — see build_suffix_array).
+
+    ``text_dev``: optional pre-staged uint8 device copy of the text
+    (see build_lcp_array; forwarded to every route).
     """
     import os
 
     arr = as_byte_array(text)
     n = int(arr.shape[0])
     if n > int(os.environ.get("SA_LCP_BIG_MIN", 1 << 23)):
-        derived = _sa_lcp_big(arr, n, info=info)
+        derived = _sa_lcp_big(arr, n, text_dev=text_dev, info=info)
         if derived is not None:
             return derived
     from hpc_suffix_array_tpu.core.suffix_array import build_suffix_array
 
-    sa = build_suffix_array(arr, info=info)
-    return sa, build_lcp_array(arr, sa)
+    sa = build_suffix_array(arr, info=info, text_dev=text_dev)
+    return sa, build_lcp_array(arr, sa, text_dev=text_dev)
 
 
 def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
