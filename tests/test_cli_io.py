@@ -216,3 +216,24 @@ def test_structured_results_parser(capsys):
     mpi = [r for r in both if r["dialect"] == "mpi"][0]
     assert mpi["actual_string_length"] == 6
     assert parse_structured_results("no block here") == {}
+
+
+def test_run_benchmark_fused_route(monkeypatch):
+    """Above SA_LCP_BIG_MIN the harness mirrors the CLI's fused
+    carried-keys route: one build serves SA and LCP (the lcp phase is a
+    fence, not a second full-text sort), and the outputs stay exact."""
+    import numpy as np
+
+    from hpc_suffix_array_tpu.bench.timing import run_benchmark
+
+    monkeypatch.setenv("SA_LCP_BIG_MIN", "5000")
+    monkeypatch.setenv("SA_BIG_THRESHOLD", "5000")
+    rng = np.random.default_rng(3)
+    text = np.frombuffer(
+        b"abcdefghijklmnopqrstuvwxyz", np.uint8)[rng.integers(0, 26, 40_000)]
+    r = run_benchmark(text, validate=True, warmup=False)
+    assert r.valid is True
+    assert r.sa_time > 0 and r.lcp_time >= 0
+    # The fused route makes the lcp phase a fence: far below the sa
+    # phase, where the old back-to-back form re-ran the whole build.
+    assert r.lcp_time < r.sa_time
