@@ -88,59 +88,64 @@ def measure_tpu(n: int, reps: int) -> float:
 
     if n > int(os.environ.get("SA_BIG_THRESHOLD", 1 << 22)):
         from hpc_suffix_array_tpu.core.bigsort import (
-            chunk_geometry, direct_feasible, execute_big, execute_direct,
-            prepare_big, prepare_direct, replan_edges)
-
-        if (bucket_size(n) <= int(os.environ.get("SA_DIRECT_MAX", 1 << 28))
-                and bucket_size(n) <= int(
-                    os.environ.get("SA_DIRECT_CROSS", 1 << 27))):
-            # Mirror build_suffix_array's routing (prefer_direct): the
-            # direct one-sort path wins through SA_DIRECT_CROSS
-            # (measured 212.3/203.0 MB/s at 2^26/2^27 vs MSD
-            # 145.7/175.2); at 2^28 the fine-geometry MSD edges it
-            # (195.6 vs 192.8 — experiments/routing_{msd_small,
-            # direct}.py r4), and random alnum is never chain-class,
-            # so the cross check IS prefer_direct here.
-            text, text_dev = twin_corpus(n, bucket_size(n))
-            if direct_feasible(text, n):
-                state = prepare_direct(text, text_dev=text_dev)
-                sa = execute_direct(dict(state))      # warmup/compile
-                jax.device_get(sa[-1])
-                del sa
-                best = float("inf")
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    sa = execute_direct(dict(state))
-                    jax.device_get(sa[-1])
-                    best = min(best, time.perf_counter() - t0)
-                    del sa
-                info = {"path": "direct_sort"}
-                if os.environ.get("SA_BENCH_LCP_BIG", "1") != "0":
-                    try:
-                        _sa, lcp = execute_direct(dict(state),
-                                                  want_lcp=True)
-                        jax.device_get(lcp[-1])
-                        del _sa, lcp
-                        t0 = time.perf_counter()
-                        _sa, lcp = execute_direct(dict(state),
-                                                  want_lcp=True)
-                        jax.device_get(lcp[-1])
-                        info["sa_lcp_secs"] = time.perf_counter() - t0
-                        del _sa, lcp
-                    except Exception as e:
-                        print(f"# sa_lcp_build skipped: "
-                              f"{type(e).__name__}: "
-                              f"{str(e).splitlines()[0][:120]}",
-                              file=sys.stderr)
-                return best, info
+            chunk_geometry, estimate_repeat_len, execute_big,
+            execute_direct, prefer_direct, prepare_big, prepare_direct,
+            replan_edges)
 
         # Twin generation: the corpus is born in HBM and mirrored on the
         # host by the same program on the CPU backend — nothing crosses
         # the host<->device link (see utils/twin.py for why staging a
-        # real 1 GiB buffer is pathological on this VM class).
-        _, _, pad_len = chunk_geometry(n)
-        text, text_dev = twin_corpus(n, pad_len)
-        state = prepare_big(text, text_dev=text_dev)   # plan (untimed)
+        # real 1 GiB buffer is pathological on this VM class). Generated
+        # at the largest geometry either route reads so the LIBRARY's
+        # own routing gate (prefer_direct) can pick the builder — a
+        # local re-implementation of the gate drifted once already
+        # (TODO.md, the 18.8 MB/s phantom-tunnel incident; r4 VERDICT
+        # weak #3 flagged the inline cross-check here).
+        gen_pad = max(bucket_size(n), chunk_geometry(n)[2])
+        text, text_dev = twin_corpus(n, gen_pad)
+        remap, _, _ = alphabet_remap(text)
+        est = estimate_repeat_len(text)
+        if prefer_direct(text, n, est_repeat=est, sigma=int(remap.max())):
+            dpad = bucket_size(n)
+            dev = text_dev if gen_pad == dpad else text_dev[:dpad]
+            state = prepare_direct(text, text_dev=dev, remap=remap,
+                                   est_repeat=est)
+            del dev
+            sa = execute_direct(dict(state))      # warmup/compile
+            jax.device_get(sa[-1])
+            del sa
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                sa = execute_direct(dict(state))
+                jax.device_get(sa[-1])
+                best = min(best, time.perf_counter() - t0)
+                del sa
+            info = {"path": "direct_sort"}
+            if os.environ.get("SA_BENCH_LCP_BIG", "1") != "0":
+                try:
+                    _sa, lcp = execute_direct(dict(state),
+                                              want_lcp=True)
+                    jax.device_get(lcp[-1])
+                    del _sa, lcp
+                    t0 = time.perf_counter()
+                    _sa, lcp = execute_direct(dict(state),
+                                              want_lcp=True)
+                    jax.device_get(lcp[-1])
+                    info["sa_lcp_secs"] = time.perf_counter() - t0
+                    del _sa, lcp
+                except Exception as e:
+                    print(f"# sa_lcp_build skipped: "
+                          f"{type(e).__name__}: "
+                          f"{str(e).splitlines()[0][:120]}",
+                          file=sys.stderr)
+            return best, info
+
+        mpad = chunk_geometry(n)[2]
+        if gen_pad != mpad:
+            text_dev = text_dev[:mpad]
+        state = prepare_big(text, text_dev=text_dev, remap=remap,
+                            est_repeat=est)        # plan (untimed)
         # Re-plan BEFORE the warmup: the reps re-plan too, and the edge
         # sampler's bucket sizes pick the (static) slab/sort shapes — the
         # warmup must compile the same programs the timed reps run.
