@@ -365,7 +365,8 @@ def main() -> None:
                 chunk_geometry, direct_feasible, estimate_repeat_len,
                 execute_big, execute_direct, prepare_big, prepare_direct)
             from hpc_suffix_array_tpu.utils.twin import (twin_corpus,
-                                                         twin_periodic)
+                                                         twin_periodic,
+                                                         twin_words)
 
             def timed_best2(run):
                 """Warmup + best-of-2 (one host stall must not poison
@@ -394,6 +395,11 @@ def main() -> None:
                                        alphabet="dna")),
                 ("repetitive_p1000", n,
                  lambda L: twin_periodic(_bench_text(1000), n, L)),
+                # Zipfian word stream: the natural-text proxy whose
+                # wide-shallow window-tie mass exercises the r5 device
+                # refinement pass (core/refine.py) at full scale — the
+                # corpus class the reference could build and r4 refused.
+                ("words", n, lambda L: twin_words(n, L)),
             ):
                 extra = {}
                 if nsec <= (1 << 22):
@@ -450,6 +456,9 @@ def main() -> None:
                                          else "msd_bigsort")
                     if meta.get("rerun"):
                         extra["rerun"] = meta["rerun"]
+                    for k in ("refine_members", "refine_rounds"):
+                        if meta.get(k):
+                            extra[k] = meta[k]
                     del dev, state
                 print(json.dumps({
                     "metric": f"sa_build_{tag}",

@@ -257,15 +257,37 @@ def main(argv=None) -> int:
         print(f"Input string: {args.input}")
         print(f"String length: {len(text)}")
 
-    if args.trace:
-        from hpc_suffix_array_tpu.utils.profiling import device_trace
-        with device_trace(args.trace):
+    try:
+        if args.trace:
+            from hpc_suffix_array_tpu.utils.profiling import device_trace
+            with device_trace(args.trace):
+                run(text, filename, args.backend, args.devices,
+                    validate=not args.no_validate, dialect=args.dialect)
+            print(f"device trace written to {args.trace}")
+        else:
             run(text, filename, args.backend, args.devices,
                 validate=not args.no_validate, dialect=args.dialect)
-        print(f"device trace written to {args.trace}")
-    else:
-        run(text, filename, args.backend, args.devices,
-            validate=not args.no_validate, dialect=args.dialect)
+    except KeyboardInterrupt:
+        raise
+    except Exception as e:
+        # The reference CLI never crashes with a traceback on a valid
+        # input (src/sequential/main_sequential.c:52-162); with the r5
+        # fallback chain (refinement -> doubling -> host SA-IS) builds
+        # should not fail either, so anything arriving here is
+        # environmental (OOM, device loss). Emit an actionable error
+        # plus a parseable FAILED block and a nonzero exit so the bench
+        # harness records a FAILED row instead of a stack trace.
+        msg = str(e).splitlines()[0][:200] if str(e) else ""
+        print(f"Error: build failed: {type(e).__name__}: {msg}",
+              file=sys.stderr)
+        print("\n===STRUCTURED_RESULTS===")
+        print("IMPLEMENTATION:tpu")
+        print(f"FILENAME:{filename}")
+        print(f"FILE_SIZE:{len(text)}")
+        print("STATUS:FAILED")
+        print(f"ERROR:{type(e).__name__}")
+        print("===END_RESULTS===")
+        return 1
     return 0
 
 

@@ -765,6 +765,26 @@ def carried_depth_syms(sigma: int) -> int:
     return 2 * packing_from_sigma(sigma)[1]
 
 
+def chain_plausible(est_repeat: int, n: int) -> bool:
+    """Is the text plausibly GLOBALLY periodic (chain-mode material)?
+
+    ``estimate_repeat_len`` extends sampled colliding pairs up to its
+    4096-byte probe depth; on any globally periodic text the extension
+    runs through whole periods, so the estimate saturates near the
+    probe cap whenever n is large enough.  Texts with merely *long*
+    repeats (natural language, code, logs — repeated phrases of
+    50-1000 bytes) score well below it.  The previous gate
+    (est > 2*spw, i.e. "any repeat beyond the carried window") sent
+    every heavy-duplication text into a chain build that then failed
+    its period verification and re-ran — one full wasted pass per
+    build once refinement made those texts buildable (r5)."""
+    import os
+
+    thresh = min(int(os.environ.get("SA_CHAIN_EST_MIN", 3072)),
+                 max(n // 4, 1))
+    return est_repeat >= thresh
+
+
 def chunk_geometry(n: int, chunk_elems: int | None = None
                    ) -> tuple[int, int, int]:
     """(m, n_chunks, padded_text_len) for an n-byte bigsort.
@@ -1104,7 +1124,7 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
 
     chain_mode = force_chain_mode
     if chain_mode is None:
-        chain_mode = plan.meta.get("est_repeat", 0) > 2 * plan.spw
+        chain_mode = chain_plausible(plan.meta.get("est_repeat", 0), n)
     k0_only = not bool(plan.e1.any())
     if count_free is None:
         count_free = (k0_only and NB >= 2 and
@@ -1271,9 +1291,10 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
             if tc == 0:
                 continue
             if not int(dok):
-                if force_chain_mode is None and tie_counts.sum() <= n // 4:
-                    # Few irregular ties: the ascending + host-residue
-                    # path handles this; chain mode was a misprediction.
+                if force_chain_mode is None:
+                    # Irregular ties: chain mode was a misprediction.
+                    # The ascending path resolves ANY tie mass (host
+                    # residue below the caps, device refinement above).
                     del idxB, k0B, k1B      # free before re-running
                     plan.meta.setdefault("rerun", []).append(
                         "chain_to_ascending")
@@ -1289,12 +1310,10 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
                 mm = int(jax.device_get(_period_mismatches(
                     text_pad, jnp.int32(d), jnp.int32(n))))
                 if mm:
-                    if force_chain_mode is None and \
-                            tie_counts.sum() <= n // 4:
+                    if force_chain_mode is None:
                         # Uniform deltas that are NOT a global period
-                        # (e.g. one long repeated block): ascending +
-                        # host residue handles it; chain mode was a
-                        # misprediction.
+                        # (e.g. one long repeated block): the ascending
+                        # path handles any tie mass.
                         del idxB, k0B, k1B
                         plan.meta.setdefault("rerun", []).append(
                             "chain_to_ascending")
@@ -1306,10 +1325,15 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
                         f"period ({mm} mismatches) - use the doubling "
                         "kernel (<=256 MB) or the sharded build")
                 verified.add(d)
-    elif tie_counts.sum() > n // 4:
-        # Misprediction (heavily tied text ran ascending): redistribute
-        # once in chain mode — the compact write already consumed the
-        # slabs, so the passes must restart.
+    elif (tie_counts.sum() > n // 4
+          and chain_plausible(plan.meta.get("est_repeat", 0), n)
+          and "chain_to_ascending" not in plan.meta.get("rerun", [])):
+        # Misprediction (periodic-looking text ran ascending):
+        # redistribute once in chain mode — the compact write already
+        # consumed the slabs, so the passes must restart. Heavily tied
+        # but aperiodic texts (natural language / code / logs) skip the
+        # flip — their ties go to device refinement below — and a build
+        # that already fell back FROM chain mode never flips again.
         del idxB, k0B, k1B                  # free before re-running
         plan.meta.setdefault("rerun", []).append("ascending_to_chain")
         return execute_big(state, max_bucket_elems=max_bucket_elems,
@@ -1322,52 +1346,82 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
     # 32 buckets measured 42.5 MB/s; batched fetch removes ~O(buckets)
     # RTTs from the critical path).
     patches = []
-    if not chain_mode:
-        pend_ex = []                      # (bucket, k, slots_d, idx_d, tot_d)
-        for (b, _, _, _), tc in zip(pend, tie_counts):
-            if tc == 0:
-                continue
-            slots_d, idx_d, total_d = _extract_ties(
-                S_of[b], k1B, idxB, jnp.int32(out_base[b]),
-                jnp.int32(fills[b]))
-            pend_ex.append((b, min(RESIDUE_SLOTS, S_of[b]),
-                            slots_d, idx_d, total_d))
-        if pend_ex:
-            totals = np.asarray(jax.device_get(
-                jnp.stack([t for _, _, _, _, t in pend_ex])))
-            slots_all = np.asarray(jax.device_get(
-                jnp.concatenate([s for _, _, s, _, _ in pend_ex])))
-            idx_all = np.asarray(jax.device_get(
-                jnp.concatenate([i for _, _, _, i, _ in pend_ex])))
-            off = 0
-            for (b, k, _, _, _), total in zip(pend_ex, totals):
-                total = int(total)
-                if total > RESIDUE_SLOTS:
-                    raise NotImplementedError(
-                        f"bucket {b}: {total} window-tied elements exceed "
-                        "the host-residue cap - use the doubling kernel "
-                        "(<=256 MB) or the sharded multi-chip build")
-                patches.append((b, slots_all[off:off + total],
-                                idx_all[off:off + total]))
-                off += k
+    refine_mode = False
+    host_cap = int(os.environ.get("SA_HOST_RESIDUE_MAX", RESIDUE_SLOTS))
+    if not chain_mode and tie_counts.sum():
+        if int(tie_counts.sum()) > host_cap:
+            # Tie mass beyond the bounded host path: resolve on device
+            # (core/refine.py) — no extraction round-trips needed.
+            refine_mode = True
+        else:
+            pend_ex = []              # (bucket, k, slots_d, idx_d, tot_d)
+            for (b, _, _, _), tc in zip(pend, tie_counts):
+                if tc == 0:
+                    continue
+                slots_d, idx_d, total_d = _extract_ties(
+                    S_of[b], k1B, idxB, jnp.int32(out_base[b]),
+                    jnp.int32(fills[b]))
+                pend_ex.append((b, min(RESIDUE_SLOTS, S_of[b]),
+                                slots_d, idx_d, total_d))
+            if pend_ex:
+                totals = np.asarray(jax.device_get(
+                    jnp.stack([t for _, _, _, _, t in pend_ex])))
+                slots_all = np.asarray(jax.device_get(
+                    jnp.concatenate([s for _, _, s, _, _ in pend_ex])))
+                idx_all = np.asarray(jax.device_get(
+                    jnp.concatenate([i for _, _, _, i, _ in pend_ex])))
+                off = 0
+                for (b, k, _, _, _), total in zip(pend_ex, totals):
+                    total = int(total)
+                    if total > RESIDUE_SLOTS:
+                        # One bucket's members overflow the extraction
+                        # cap: the device refinement pass has no such
+                        # bound (pre-r5 this was a refusal).
+                        refine_mode = True
+                        patches = []
+                        break
+                    patches.append((b, slots_all[off:off + total],
+                                    idx_all[off:off + total]))
+                    off += k
     _stamps.append(("residue_extract", time.perf_counter()))
 
     # --- finish: idxB[:n] IS the SA (k0B[:n] the LCP); apply residue ----
     # Frees are sequenced so peak memory stays ~3 slab-sized buffers
     # (slice copies allocate before their source can be released).
-    del k1B
-    lcp = None
-    if want_lcp:
-        lcp = k0B[:n]
-    del k0B
-    sa = idxB[:n]
-    del idxB
     n_patched = 0
-    if patches:
-        sa, lcp, n_patched = _apply_residue(
-            sa, lcp, state["host_text"],
-            [(slots.astype(np.int64), idxs) for _b, slots, idxs in patches],
-            n, want_lcp)
+    if refine_mode:
+        from hpc_suffix_array_tpu.core.refine import refine_ties
+
+        # Hand slab ownership to the refiner (donated scatters refine
+        # the idx slab in place; the tie slab frees right after its
+        # bit-packing): the pop() calls strip this frame's references
+        # at argument-evaluation time.
+        if not want_lcp:
+            del k0B
+            k0B = None
+        bufs = [idxB, k1B, k0B]
+        del idxB, k1B, k0B
+        sa, lcp = refine_ties(
+            text_pad, bufs.pop(0), bufs.pop(1), bufs.pop(0), n,
+            spw_main=plan.spw, d0_words=2, sigma=int(plan.remap.max()),
+            minpad=plan.minpad, ranges=ranges, vals=vals_d,
+            host_text=state["host_text"], want_lcp=want_lcp,
+            meta=plan.meta)
+        n_patched = int(plan.meta.get("refine_host_members", 0))
+    else:
+        del k1B
+        lcp = None
+        if want_lcp:
+            lcp = k0B[:n]
+        del k0B
+        sa = idxB[:n]
+        del idxB
+        if patches:
+            sa, lcp, n_patched = _apply_residue(
+                sa, lcp, state["host_text"],
+                [(slots.astype(np.int64), idxs)
+                 for _b, slots, idxs in patches],
+                n, want_lcp)
     if want_lcp and plan.minpad:
         lcp = _clamp_lcp(sa, lcp, jnp.int32(n))
 
@@ -1398,7 +1452,9 @@ def build_suffix_array_big(text, info: dict | None = None,
     if info is not None:
         info.update({k: v for k, v in state["plan"].meta.items()
                      if k in ("rerun", "chain_mode", "n_patched",
-                              "periods")})
+                              "periods", "refine_members",
+                              "refine_rounds", "refine_pieces",
+                              "refine_host_members")})
     return out
 
 
@@ -1671,7 +1727,7 @@ def execute_direct(state, *, force_chain_mode: bool | None = None,
     nw = state.get("nw", 2)
     chain_mode = force_chain_mode
     if chain_mode is None:
-        chain_mode = meta.get("est_repeat", 0) > nw * spw
+        chain_mode = chain_plausible(meta.get("est_repeat", 0), n)
 
     if nw == 3:
         k0, k1, k2, iota = _direct_keys(n_pad, spw, bits, text_ext,
@@ -1696,7 +1752,10 @@ def execute_direct(state, *, force_chain_mode: bool | None = None,
         if ties:
             d, dok = (int(x) for x in jax.device_get((d_d, dok_d)))
             if not dok:
-                if force_chain_mode is None and ties <= n // 4:
+                if force_chain_mode is None:
+                    # Irregular ties: the ascending path resolves ANY
+                    # tie mass (host residue under the cap, device
+                    # refinement above it).
                     del s_idx, tie32, lcp32
                     meta.setdefault("rerun", []).append(
                         "chain_to_ascending")
@@ -1709,10 +1768,10 @@ def execute_direct(state, *, force_chain_mode: bool | None = None,
                 mm = int(jax.device_get(_period_mismatches(
                     text_ext, jnp.int32(d), jnp.int32(n))))
                 if mm:
-                    if force_chain_mode is None and ties <= n // 4:
+                    if force_chain_mode is None:
                         # Uniform-delta ties that are NOT a global
-                        # period (one long repeated block): ascending +
-                        # host residue handles it.
+                        # period (one long repeated block): the
+                        # ascending path handles any tie mass.
                         del s_idx, tie32, lcp32
                         meta.setdefault("rerun", []).append(
                             "chain_to_ascending")
@@ -1723,35 +1782,63 @@ def execute_direct(state, *, force_chain_mode: bool | None = None,
                         f"chain delta {d} is not a global period "
                         f"({mm} mismatches) - use the MSD path")
                 meta["periods"] = [d]
-    elif ties > n // 4:
+    elif (ties > n // 4
+          and chain_plausible(meta.get("est_repeat", 0), n)
+          and "chain_to_ascending" not in meta.get("rerun", [])):
+        # Periodic-looking text ran ascending: one chain redo. Heavily
+        # tied but aperiodic texts go to refinement instead, and a
+        # build that fell back FROM chain never flips again.
         del s_idx, tie32, lcp32
         meta.setdefault("rerun", []).append("ascending_to_chain")
         return execute_direct(state, force_chain_mode=True,
                               want_lcp=want_lcp)
 
     patches = []
+    refine_mode = False
+    host_cap = int(os.environ.get("SA_HOST_RESIDUE_MAX", RESIDUE_SLOTS))
     if ties and not chain_mode:
-        slots_d, idx_d, total_d = _extract_ties(
-            n_pad, tie32, s_idx, jnp.int32(0), jnp.int32(n))
-        total = int(jax.device_get(total_d))
-        if total > RESIDUE_SLOTS:
-            raise NotImplementedError(
-                f"{total} window-tied elements exceed the host-residue "
-                "cap - use the MSD path (per-bucket caps) or the "
-                "sharded build")
-        slots = np.asarray(jax.device_get(slots_d))[:total]
-        idxs = np.asarray(jax.device_get(idx_d))[:total]
-        patches.append((slots.astype(np.int64), idxs))
-    del tie32
+        if ties > host_cap:
+            refine_mode = True
+        else:
+            slots_d, idx_d, total_d = _extract_ties(
+                n_pad, tie32, s_idx, jnp.int32(0), jnp.int32(n))
+            total = int(jax.device_get(total_d))
+            if total > RESIDUE_SLOTS:
+                # Beyond the extraction cap: the device refinement pass
+                # has no such bound (pre-r5 this was a refusal).
+                refine_mode = True
+            else:
+                slots = np.asarray(jax.device_get(slots_d))[:total]
+                idxs = np.asarray(jax.device_get(idx_d))[:total]
+                patches.append((slots.astype(np.int64), idxs))
+            del slots_d, idx_d
 
-    sa = s_idx[:n]
-    del s_idx
-    lcp = lcp32[:n] if want_lcp else None
-    del lcp32
-    if patches:
-        sa, lcp, n_patched = _apply_residue(
-            sa, lcp, state["host_text"], patches, n, want_lcp)
-        meta["n_patched"] = n_patched
+    if refine_mode:
+        from hpc_suffix_array_tpu.core.refine import refine_ties
+
+        if not want_lcp:
+            del lcp32
+            lcp32 = None
+        bufs = [s_idx, tie32, lcp32]
+        del s_idx, tie32, lcp32
+        sa, lcp = refine_ties(
+            text_ext, bufs.pop(0), bufs.pop(1), bufs.pop(0), n,
+            spw_main=spw, d0_words=nw,
+            sigma=int(state["vals_d"].shape[0]),
+            minpad=state.get("minpad", False), ranges=ranges,
+            vals=vals_d, host_text=state["host_text"],
+            want_lcp=want_lcp, meta=meta)
+        meta["n_patched"] = int(meta.get("refine_host_members", 0))
+    else:
+        del tie32
+        sa = s_idx[:n]
+        del s_idx
+        lcp = lcp32[:n] if want_lcp else None
+        del lcp32
+        if patches:
+            sa, lcp, n_patched = _apply_residue(
+                sa, lcp, state["host_text"], patches, n, want_lcp)
+            meta["n_patched"] = n_patched
     if want_lcp and state.get("minpad", False):
         lcp = _clamp_lcp(sa, lcp, jnp.int32(n))
     meta["chain_mode"] = chain_mode
@@ -1771,5 +1858,7 @@ def build_suffix_array_direct(text, info: dict | None = None, **kw):
     if info is not None:
         info.update({k: v for k, v in state["meta"].items()
                      if k in ("rerun", "chain_mode", "n_patched",
-                              "periods")})
+                              "periods", "refine_members",
+                              "refine_rounds", "refine_pieces",
+                              "refine_host_members")})
     return out

@@ -205,6 +205,24 @@ def _sa_lcp_big(text, n: int, text_dev=None, info=None):
             info["path"] = "msd"
         return out
     except NotImplementedError:
+        if n > 1 << 28:
+            # Past the doubling/window fallbacks' reach: host SA-IS +
+            # Kasai (both native C, O(n)) close the long tail so no
+            # valid input is refused (see sais_host_fallback).
+            from hpc_suffix_array_tpu import native
+            from hpc_suffix_array_tpu.core.suffix_array import (
+                sais_host_fallback)
+
+            if native.available():
+                sa_cpu = sais_host_fallback(host, info)
+                lcp_np = native.lcp_kasai(host, np.asarray(sa_cpu))
+                try:
+                    import jax as _jax
+                    lcp_cpu = _jax.device_put(
+                        lcp_np, _jax.devices("cpu")[0])
+                except RuntimeError:
+                    lcp_cpu = jnp.asarray(lcp_np)
+                return sa_cpu, lcp_cpu
         return None
 
 
@@ -311,7 +329,7 @@ def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
         derived = _sa_lcp_big(host, n, text_dev=text_dev)
         if derived is not None:
             _sa, lcp = derived
-            if not bool(jax.device_get(jnp.all(_sa == sa))):
+            if not _same_sa(_sa, sa):
                 raise ValueError(
                     "supplied sa is not the suffix array of text: the "
                     "large-text LCP route derives the order from the text "
@@ -352,7 +370,7 @@ def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
         derived = _sa_lcp_big(host, n, text_dev=text_dev)
         if derived is not None:
             _sa, lcp = derived
-            if not bool(jax.device_get(jnp.all(_sa == sa))):
+            if not _same_sa(_sa, sa):
                 raise ValueError(
                     "supplied sa is not the suffix array of text: the "
                     "repetitive-text LCP route derives the order from the "
@@ -361,6 +379,18 @@ def build_lcp_array(text, sa, *, text_dev=None) -> jnp.ndarray:
             return lcp
     plcp = plcp_kernel(arr_dev(), sa)
     return lcp_from_plcp(plcp, sa)
+
+
+def _same_sa(derived, supplied) -> bool:
+    """Equality of the derived and supplied SA, tolerant of the two
+    living on different backends (the SA-IS fallback returns
+    CPU-committed arrays; cross-device jnp comparison raises)."""
+    try:
+        return bool(jax.device_get(jnp.all(derived == jnp.asarray(
+            supplied, jnp.int32))))
+    except Exception:
+        return bool(np.array_equal(np.asarray(derived),
+                                   np.asarray(supplied)))
 
 
 def _deep_repeat(arr: np.ndarray, n: int) -> bool:

@@ -1,0 +1,566 @@
+"""Unbounded tie resolution on device: iterative window-deepening.
+
+The carried-keys builders (core/bigsort.py) resolve each suffix pair by
+its first ``nw*spw`` symbols and leave the still-tied pairs to a BOUNDED
+host residue pass (``RESIDUE_SLOTS`` per extraction).  Real index-server
+corpora — natural language, source code, logs — have repeated 8-20
+symbol windows covering a large fraction of positions, so at 1 GiB the
+window-tied mass is far beyond any host cap and, before this module, the
+build *refused* (r4 VERDICT missing #1).  The reference builds any text
+in O(n log n) (src/sequential/manber_myers.c:81-133); this module makes
+the carried-keys paths do the same without giving up their speed:
+
+  1. *Extract* every tied member (final SA slot, text index) into device
+     piece arrays — pieces split only at clean cuts (slots whose tie
+     flag is 0), so each tie group lives in exactly one piece.
+  2. *Refine* each piece by rounds: gather the next ``2*spw`` symbols of
+     each row from the (device-resident) text as one packed word pair,
+     re-sort rows within their groups by it, split groups at key
+     mismatches, and record the exact LCP at every new boundary from the
+     xor of the adjacent windows.  Rounds deepen linearly; the tied set
+     typically collapses geometrically (every mismatch inside the window
+     resolves its pair exactly, and real-text context diverges fast).
+  3. *Finish* the (now small) still-tied remainder on the host with the
+     exact bounded-window comparison pass the small-residue path already
+     uses (core/bigsort._resolve_residue_host) — it decides pairs at ANY
+     depth, so correctness never depends on the round budget.
+
+Platform constraints inherited from TODO.md ("tunnel remote-compile
+economics" + the VM pager pathology): no scan HLOs — segment ids come
+from a log-step shifted-max ladder (``_prefix_max``), not cummax; window
+reads gather one packed WORD per (row, word) from a precomputed table
+(``pk``) instead of a byte per symbol (~10 ns per gathered element); the
+tie flags are bit-packed 32x and both the packing and the pk table build
+run as chunked donated-update loops so no full-size temp ever coexists
+with the three build slabs.
+
+Memory at the 1 GiB ladder config (v5e, ~15.6 GiB usable): text 1.07 +
+idx slab (refined in place) 4.3 + lcp 4.3 (want_lcp) + packed masks 0.27
++ pk 4.3 + one piece (≤ 10 live int32 columns × 2^22) ≈ 14.4 GB.
+
+Depth bookkeeping is in SYMBOLS (= bytes; every symbol codes one byte).
+Refinement windows always use reserved-0 packing (past-the-end = 0 <
+every real code) even when the main build packed minpad: a pair whose
+shorter suffix ends inside a window separates at exactly the shorter
+length, so deepening terminates for prefix pairs and the recorded LCP is
+exact.  Minpad plans re-verify from depth 0 (a minpad "tie" can hide a
+real pad-vs-min-symbol mismatch inside the original window); reserved-0
+plans start at the already-verified depth.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from hpc_suffix_array_tpu.core.bigsort import (
+    _dev_pack_word, codes_from_bytes)
+
+# Sentinel for pad SLOTS: above any legal n (int32 indexing caps n well
+# below), far from the packed-word BIG used elsewhere — a 2^30 sentinel
+# would collide with REAL slots the moment n exceeds 2^30.
+SLOT_PAD = np.int32(0x7FFF0000)
+CH = 1 << 24                     # slots per extraction / packing chunk
+
+
+class RefineOverflow(NotImplementedError):
+    """Refinement cannot finish within its caps (a single tie group
+    larger than SA_REFINE_GROUP_MAX, or a still-tied remainder beyond
+    the host budget after the round cap).  Subclasses
+    NotImplementedError so the existing routing fallbacks catch it —
+    the top-level router finishes with the host SA-IS builder, which
+    handles any text (core/suffix_array.build_suffix_array)."""
+
+
+# --------------------------------------------------------------------------
+# Packed tie-flag mask (1 bit per SA slot), built chunk-by-chunk
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _pack_chunk(m: int, mask, flags_src, base, n):
+    """Pack flags of slots [base, base+m) into mask (uint32, 32 per word).
+
+    ``flags_src`` may be any array of length >= base (a build slab);
+    reads past its end clamp — harmless, the ``pos < n`` mask zeroes
+    everything at or past n either way."""
+    w = lax.dynamic_slice(flags_src, (base,), (m,))
+    pos = base + lax.iota(jnp.int32, m)
+    bits = ((w != 0) & (pos < n)).astype(jnp.uint32).reshape(m // 32, 32)
+    words = jnp.sum(bits << lax.iota(jnp.uint32, 32), axis=1)
+    return lax.dynamic_update_slice(mask, words, (base // 32,))
+
+
+@jax.jit
+def _member_mask(tie_packed):
+    """member[j] = tie[j] | tie[j+1] on the packed form.
+
+    A tie flag marks the LATER element of a tied pair; a group's head
+    joins via its successor's flag — the membership rule of
+    core/bigsort._extract_ties."""
+    down = tie_packed >> jnp.uint32(1)
+    nxt = jnp.concatenate([tie_packed[1:], jnp.zeros(1, jnp.uint32)])
+    return tie_packed | down | ((nxt & jnp.uint32(1)) << jnp.uint32(31))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _popcount_chunks(packed, n_chunks: int, words_per_chunk: int):
+    """Per-chunk set-bit counts: int32[n_chunks]."""
+    w = packed.reshape(n_chunks, words_per_chunk)
+    return jnp.sum(lax.population_count(w).astype(jnp.int32), axis=1)
+
+
+@jax.jit
+def _count_range(member_packed, lo, hi):
+    """#set member bits with slot in [lo, hi) (one masked reduce)."""
+    L = member_packed.shape[0]
+    widx = lax.iota(jnp.int32, L)
+    word_lo, word_hi = lo // 32, (hi - 1) // 32
+    inside = (widx > word_lo) & (widx < word_hi)
+    full = jnp.sum(jnp.where(
+        inside, lax.population_count(member_packed).astype(jnp.int32), 0))
+
+    def bits_of(wi):
+        w = member_packed[jnp.clip(wi, 0, L - 1)]
+        pos = wi * 32 + lax.iota(jnp.int32, 32)
+        sel = ((w >> lax.iota(jnp.uint32, 32)) & jnp.uint32(1)).astype(
+            jnp.int32)
+        return jnp.sum(jnp.where((pos >= lo) & (pos < hi), sel, 0))
+
+    edge = bits_of(word_lo) + jnp.where(word_hi != word_lo,
+                                        bits_of(word_hi), 0)
+    return jnp.where(hi > lo, full + edge, 0)
+
+
+def _unpack_bits(words, m: int):
+    """bool[m] from uint32[m/32] (little-endian)."""
+    sh = lax.iota(jnp.uint32, 32)
+    return ((words[:, None] >> sh[None, :]) & jnp.uint32(1)).reshape(
+        m).astype(jnp.bool_)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _extract_chunk(m: int, tie_packed, member_packed, sa_full, base,
+                   lo, hi, n):
+    """Members of slot-chunk [base, base+m) ∩ [lo, hi), compacted first.
+
+    Returns (slot int32[m]: ascending member slots then SLOT_PAD pads,
+    idx int32[m] aligned, head int32[m]: 1 where the member starts a
+    group).  Pad rows carry idx = n (the all-pad window sentinel)."""
+    w0 = base // 32
+    tie_b = _unpack_bits(lax.dynamic_slice(tie_packed, (w0,), (m // 32,)),
+                         m)
+    mem_b = _unpack_bits(lax.dynamic_slice(member_packed, (w0,),
+                                           (m // 32,)), m)
+    slot = base + lax.iota(jnp.int32, m)
+    mem_b = mem_b & (slot >= lo) & (slot < hi)
+    idx = lax.dynamic_slice(sa_full, (base,), (m,))
+    key = jnp.where(mem_b, slot, SLOT_PAD)
+    idx = jnp.where(mem_b, idx, n)
+    head = jnp.where(tie_b, 0, 1).astype(jnp.int32)
+    return lax.sort((key, idx, head), num_keys=1, is_stable=False)
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2, 3))
+def _piece_write(m: int, slotP, idxP, headP, s_key, s_idx, s_head, off):
+    """Append one extracted chunk window into the piece arrays.
+
+    Fixed-width m windows in ascending ``off`` order: the tail past the
+    chunk's true member count spills onto the region the next chunk's
+    write covers (the piece arrays carry an m-slack tail for the last).
+    """
+    return (lax.dynamic_update_slice(slotP, s_key, (off,)),
+            lax.dynamic_update_slice(idxP, s_idx, (off,)),
+            lax.dynamic_update_slice(headP, s_head, (off,)))
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2, 3))
+def _piece_trim(S: int, slotP, idxP, headP, cnt, n):
+    """Force rows at positions >= cnt to the pad state (the last
+    extraction window's spill wrote arbitrary non-member rows there)."""
+    iota = lax.iota(jnp.int32, S)
+    ok = iota < cnt
+    return (jnp.where(ok, slotP[:S], SLOT_PAD),
+            jnp.where(ok, idxP[:S], n),
+            jnp.where(ok, headP[:S], 1))
+
+
+# --------------------------------------------------------------------------
+# Packed-word table over the text (reserved-0 codes), chunked build
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 7),
+                   donate_argnums=(3,))
+def _pk_chunk(m: int, spw: int, bits: int, pk, text_pad, base, n,
+              ranges=None, vals=None):
+    """pk[base:base+m] = packed word of the spw reserved-0 codes at
+    [i, i+spw) for each i.  Positions >= n code 0, so any row whose
+    window starts at or past n reads the all-pad word; reads past the
+    text buffer clamp and are masked the same way."""
+    ext = lax.dynamic_slice(text_pad, (base,), (m + spw,))
+    pos = base + lax.iota(jnp.int32, m + spw)
+    codes = codes_from_bytes(ext, vals, ranges)
+    codes = jnp.where(pos < n, codes, 0)
+    word = _dev_pack_word(codes, 0, spw, bits, m)
+    return lax.dynamic_update_slice(pk, word, (base,))
+
+
+# --------------------------------------------------------------------------
+# Refinement rounds
+# --------------------------------------------------------------------------
+
+
+def _prefix_max(a):
+    """Inclusive prefix max over a 1-D array, scan-free.
+
+    log2(S) shifted-maximum steps — plain fused vector ops, no cummax
+    HLO (whose remote compile costs minutes at these shapes, TODO.md).
+    """
+    S = a.shape[0]
+    step = 1
+    while step < S:
+        lead = jnp.full((step,), jnp.iinfo(a.dtype).min, a.dtype)
+        a = jnp.maximum(a, jnp.concatenate([lead, a[:-step]]))
+        step *= 2
+    return a
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _seg_init(S: int, head):
+    """Initial segment ids: the position of each row's group head."""
+    iota = lax.iota(jnp.int32, S)
+    return _prefix_max(jnp.where(head != 0, iota, jnp.int32(-1)))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   donate_argnums=(3, 4, 5))
+def _refine_round(S: int, spw: int, bits: int, seg, idx, patch, pk, d,
+                  n):
+    """One deepening round over a piece (static shape S, traced depth d).
+
+    Sort rows by (segment id, window word 0, window word 1); split
+    segments at window mismatches; record the boundary LCP (= d + first
+    differing symbol — exact, since all members of both subgroups share
+    their windows) into the POSITIONAL patch array; reassign segment
+    ids via the prefix-max ladder.  ``seg`` and ``patch`` are positional
+    (rows only ever permute within their segment's position range, so a
+    boundary formed at position p stays at p); ``idx`` travels with the
+    rows.  Returns (seg, idx, patch, n_tied)."""
+    nn = jnp.int32(n)
+    g0 = pk[jnp.minimum(idx + d, nn)]
+    g1 = pk[jnp.minimum(idx + d + spw, nn)]
+    s_seg, s0, s1, s_idx = lax.sort((seg, g0, g1, idx), num_keys=3,
+                                    is_stable=False)
+    m1 = jnp.full((1,), -1, jnp.int32)
+    p_seg = jnp.concatenate([m1, s_seg[:-1]])
+    p0 = jnp.concatenate([m1, s0[:-1]])
+    p1 = jnp.concatenate([m1, s1[:-1]])
+    parent_head = s_seg != p_seg
+    wdiff = (s0 != p0) | (s1 != p1)
+    new_head = parent_head | wdiff
+    iota = lax.iota(jnp.int32, S)
+    new_seg = _prefix_max(jnp.where(new_head, iota, jnp.int32(-1)))
+    # Boundary LCP from the window xor: symbols pack first-highest, so
+    # the highest set xor bit maps to the first differing symbol (the
+    # want_lcp arithmetic of core/bigsort._bucket_sort).
+    x0, x1 = s0 ^ p0, s1 ^ p1
+    off0 = jnp.where(x0 != 0, spw - 1 - (31 - lax.clz(x0)) // bits,
+                     jnp.int32(2 * spw))
+    off1 = jnp.where(x1 != 0,
+                     2 * spw - 1 - (31 - lax.clz(x1)) // bits,
+                     jnp.int32(2 * spw))
+    sym = jnp.where(x0 != 0, off0, off1)
+    patch = jnp.where(wdiff & (~parent_head), d + sym, patch)
+    n_tied = jnp.sum((~new_head).astype(jnp.int32))
+    return new_seg, s_idx, patch, n_tied
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _tied_extract(S: int, seg, idx, slot):
+    """Still-tied members of a refined piece, compacted first.
+
+    A still-tied segment has >= 2 rows; every row of such a segment is
+    a member (the host pass / the compacted continuation reorders whole
+    groups).  Segments occupy contiguous POSITION ranges and ``slot``
+    is ascending positional, so sorting members by slot preserves
+    segment blocks — the head payload marks each block's start.
+    Returns (slot[S]: ascending member slots then SLOT_PAD pads,
+    idx[S] aligned, head int32[S], member count)."""
+    p_seg = jnp.concatenate([jnp.full((1,), -1, jnp.int32), seg[:-1]])
+    n_seg = jnp.concatenate([seg[1:], jnp.full((1,), -1, jnp.int32)])
+    member = ((seg == p_seg) | (seg == n_seg)) & (slot < SLOT_PAD)
+    head = (member & (seg != p_seg)).astype(jnp.int32)
+    key = jnp.where(member, slot, SLOT_PAD)
+    s_key, s_idx, s_head = lax.sort((key, idx, head), num_keys=1,
+                                    is_stable=False)
+    return s_key, s_idx, s_head, jnp.sum(member.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(sa_full, slot, idx):
+    """sa_full[slot[p]] = idx[p] for real rows (SLOT_PAD rows drop —
+    every legal n sits far below the sentinel)."""
+    tgt = jnp.where(slot < SLOT_PAD, slot, jnp.int32(sa_full.shape[0]))
+    return sa_full.at[tgt].set(idx, mode="drop")
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_patch(lcp, slot, patch):
+    """lcp[slot[p]] = patch[p] where a boundary value was recorded."""
+    n = lcp.shape[0]
+    tgt = jnp.where((patch >= 0) & (slot < n), slot, n)
+    return lcp.at[tgt].set(jnp.maximum(patch, 0), mode="drop")
+
+
+# --------------------------------------------------------------------------
+# Driver
+# --------------------------------------------------------------------------
+
+
+def _pow2(x: int) -> int:
+    return 1 << max(int(x - 1).bit_length(), 0) if x > 1 else 1
+
+
+def _find_cut(fetch_tie, hi: int, lo: int) -> int | None:
+    """Largest slot c in (lo, hi] with tie[c] == 0 (a clean piece cut:
+    no tie group spans c).  ``fetch_tie(a, b)`` returns the packed tie
+    words covering slots [a, b) as a host uint32 array."""
+    W = 1 << 15
+    c = hi
+    while c > lo:
+        a = max(lo, c - W)
+        words = fetch_tie(a, c + 1)
+        bits = np.unpackbits(
+            words.view(np.uint8), bitorder="little")[:len(words) * 32]
+        a_al = (a // 32) * 32
+        sl = np.arange(a_al, a_al + len(bits))
+        ok = (sl > lo) & (sl <= c) & (bits == 0)
+        if ok.any():
+            return int(sl[ok][-1])
+        c = a
+    return None
+
+
+def refine_ties(text_pad, sa_full, lcp, tie_src, n: int, *, spw_main: int,
+                d0_words: int, sigma: int, minpad: bool, ranges, vals,
+                host_text, want_lcp: bool, meta: dict | None = None):
+    """Resolve ALL window-tied groups of a carried-keys build exactly.
+
+    Args:
+      text_pad: device uint8[L], L > n, zero past n.
+      sa_full:  device int32[>= n] — the build's order (slots [0, n)),
+                tied groups in arbitrary order; REFINED IN PLACE via
+                donated scatters (pass ownership; the returned array
+                replaces it).  May be a build slab longer than n.
+      lcp:      device int32[n] or None — tied rows hold lower bounds.
+      tie_src:  device int32[>= min(len, n)] flags aligned to slots
+                (tie[j]: slot j ties slot j-1); storage past n may be
+                arbitrary (masked).  May be a build slab.
+      spw_main, d0_words, minpad: the main build's packing — the
+                verified depth is d0_words*spw_main symbols (minpad
+                plans re-verify from 0, see module docstring).
+      sigma:    alphabet size (reserved-0 refinement packing derives
+                bits/spw from it).
+      ranges/vals: the plan's device remap inputs (codes_from_bytes).
+      host_text: np.uint8[n] for the exact host finish.
+      meta:     optional dict; refinement stats are recorded into it.
+
+    Returns (sa int32[n], lcp) with every tie resolved (lcp patched
+    exactly when want_lcp).  Raises RefineOverflow when a cap is
+    exceeded (see class docstring).
+    """
+    meta = meta if meta is not None else {}
+    bits = max(1, int(sigma).bit_length())
+    spw = 30 // bits
+    d0 = 0 if minpad else d0_words * spw_main
+
+    piece_target = int(os.environ.get("SA_REFINE_PIECE", 1 << 22))
+    group_max = int(os.environ.get("SA_REFINE_GROUP_MAX", 1 << 26))
+    max_rounds = int(os.environ.get("SA_REFINE_ROUNDS", 64))
+    host_piece = int(os.environ.get("SA_REFINE_HOST_PIECE", 1 << 16))
+
+    # Extraction/packing slot-chunk: scaled down with the piece target
+    # so small targets actually produce multiple pieces (cuts are only
+    # evaluated at chunk ends; members per chunk <= slots per chunk).
+    ch = max(32, min(CH, _pow2(n), _pow2(4 * piece_target)))
+    n_pack = -(-n // ch) * ch              # chunk-aligned slot span
+    n_chunks = n_pack // ch
+
+    # ---- pack the flags chunk-by-chunk; the int32 source can then go --
+    # Chunked dynamic_slice needs sources at least one chunk long past
+    # every base; small builds' slabs can be shorter than the chunk
+    # grid (at benchmark sizes the slabs always dominate — no copy).
+    if int(tie_src.shape[0]) < n_pack:
+        tie_src = jnp.concatenate(
+            [tie_src,
+             jnp.zeros((n_pack - int(tie_src.shape[0]),), tie_src.dtype)])
+    if int(text_pad.shape[0]) < n_pack + spw:
+        text_pad = jnp.concatenate(
+            [text_pad,
+             jnp.zeros((n_pack + spw - int(text_pad.shape[0]),),
+                       text_pad.dtype)])
+    tie_packed = jnp.zeros((n_pack // 32,), jnp.uint32)
+    for c in range(n_chunks):
+        tie_packed = _pack_chunk(ch, tie_packed, tie_src,
+                                 jnp.int32(c * ch), jnp.int32(n))
+    del tie_src
+    member_packed = _member_mask(tie_packed)
+
+    counts = np.asarray(jax.device_get(_popcount_chunks(
+        member_packed, n_chunks, ch // 32))).astype(np.int64)
+    M = int(counts.sum())
+    meta["refine_members"] = M
+    if M == 0:
+        if lcp is not None and int(lcp.shape[0]) > n:
+            lcp = lcp[:n]
+        return sa_full[:n], lcp
+
+    if int(sa_full.shape[0]) < n_pack:
+        sa_full = jnp.concatenate(
+            [sa_full,
+             jnp.zeros((n_pack - int(sa_full.shape[0]),), jnp.int32)])
+
+    def fetch_tie(a: int, b: int) -> np.ndarray:
+        wa, wb = a // 32, min(-(-b // 32), n_pack // 32)
+        return np.asarray(jax.device_get(tie_packed[wa:wb]))
+
+    def range_count(lo: int, hi: int) -> int:
+        if hi <= lo:
+            return 0
+        return int(jax.device_get(_count_range(
+            member_packed, jnp.int32(lo), jnp.int32(hi))))
+
+    # ---- piece partition at clean cuts --------------------------------
+    pieces = []                 # (lo_slot, hi_slot, member_count)
+    lo = 0
+    acc = 0
+    for c in range(n_chunks):
+        acc += int(counts[c])
+        if acc < piece_target and c != n_chunks - 1:
+            continue
+        hi = n if c == n_chunks - 1 else min((c + 1) * ch, n)
+        if hi < n:
+            cut = _find_cut(fetch_tie, hi, lo)
+            if cut is None:
+                continue         # giant group: extend into next chunk
+            hi = cut
+        cnt = range_count(lo, hi)
+        if cnt > group_max:
+            raise RefineOverflow(
+                f"refinement piece [{lo},{hi}) holds {cnt} tied members "
+                f"(> SA_REFINE_GROUP_MAX={group_max}); a tie group "
+                "exceeds the device sort budget - the router finishes "
+                "with the host SA-IS builder")
+        if cnt:
+            pieces.append((lo, hi, cnt))
+        lo = hi
+        acc = range_count(lo, min((c + 1) * ch, n))
+    meta["refine_pieces"] = len(pieces)
+
+    # ---- packed-word table (reserved-0), chunked build ----------------
+    # One pad chunk past n_pack guarantees pk[n] is the all-pad word
+    # even when n is chunk-aligned (the gathers clamp to n).
+    pk = jnp.zeros((n_pack + ch,), jnp.int32)
+    for c in range(n_chunks):
+        pk = _pk_chunk(ch, spw, bits, pk, text_pad, jnp.int32(c * ch),
+                       jnp.int32(n), ranges, vals)
+
+    host_patches = []            # (slots int64[], idxs int32[])
+    rounds_max = 0
+    for (plo, phi, cnt) in pieces:
+        S = max(_pow2(cnt), min(1 << 10, _pow2(n)))
+        slotP = jnp.full((S + ch,), SLOT_PAD, jnp.int32)
+        idxP = jnp.full((S + ch,), jnp.int32(n), jnp.int32)
+        headP = jnp.ones((S + ch,), jnp.int32)
+        off = 0
+        for c in range(plo // ch, (phi - 1) // ch + 1):
+            base = c * ch
+            s_key, s_idx, s_head = _extract_chunk(
+                ch, tie_packed, member_packed, sa_full, jnp.int32(base),
+                jnp.int32(plo), jnp.int32(phi), jnp.int32(n))
+            slotP, idxP, headP = _piece_write(
+                ch, slotP, idxP, headP, s_key, s_idx, s_head,
+                jnp.int32(off))
+            off += range_count(max(base, plo), min(base + ch, phi))
+        assert off == cnt, (off, cnt)
+        slotP, idxP, headP = _piece_trim(S, slotP, idxP, headP,
+                                         jnp.int32(cnt), jnp.int32(n))
+
+        seg = _seg_init(S, headP)
+        del headP
+        patch = jnp.full((S,), -1, jnp.int32)
+        d = d0
+        tied = cnt
+        rounds = 0
+        while tied and rounds < max_rounds:
+            seg, idxP, patch, tied_d = _refine_round(
+                S, spw, bits, seg, idxP, patch, pk, jnp.int32(d),
+                jnp.int32(n))
+            tied = int(jax.device_get(tied_d))
+            d += 2 * spw
+            rounds += 1
+            if tied and tied <= host_piece:
+                break
+            if tied and tied <= S // 4 and S > (1 << 12):
+                # Geometric compaction: most rows resolve in the first
+                # round or two; continuing at full width would make
+                # every deepening round cost like the first. Commit the
+                # resolved rows now, shrink to the still-tied members,
+                # and keep deepening in the smaller shape.
+                sa_full = _scatter_rows(sa_full, slotP, idxP)
+                if want_lcp:
+                    lcp = _scatter_patch(lcp, slotP, patch)
+                s_key, s_idx, s_head, mc_d = _tied_extract(
+                    S, seg, idxP, slotP)
+                mc = int(jax.device_get(mc_d))
+                S2 = max(_pow2(mc), 1 << 10)
+                slotP, idxP, headC = _piece_trim(
+                    S2, s_key[:S2], s_idx[:S2], s_head[:S2],
+                    jnp.int32(mc), jnp.int32(n))
+                del s_key, s_idx, s_head
+                seg = _seg_init(S2, headC)
+                del headC
+                patch = jnp.full((S2,), -1, jnp.int32)
+                S = S2
+        rounds_max = max(rounds_max, rounds)
+        if tied:
+            s_key, s_idx, _s_head, mcount_d = _tied_extract(
+                S, seg, idxP, slotP)
+            mcount = int(jax.device_get(mcount_d))
+            if mcount > 4 * host_piece:
+                raise RefineOverflow(
+                    f"{mcount} members still tied after {rounds} "
+                    "refinement rounds (> 4*SA_REFINE_HOST_PIECE) - the "
+                    "router finishes with the host SA-IS builder")
+            k = min(S, _pow2(max(mcount, 2)))
+            host_patches.append((
+                np.asarray(jax.device_get(s_key[:k]))[:mcount]
+                .astype(np.int64),
+                np.asarray(jax.device_get(s_idx[:k]))[:mcount]))
+            del s_key, s_idx
+        sa_full = _scatter_rows(sa_full, slotP, idxP)
+        if want_lcp:
+            lcp = _scatter_patch(lcp, slotP, patch)
+        del slotP, idxP, seg, patch
+
+    del tie_packed, member_packed, pk
+    if lcp is not None and int(lcp.shape[0]) > n:
+        lcp = lcp[:n]            # free a slab-length lcp buffer
+    meta["refine_rounds"] = rounds_max
+    meta["refine_host_members"] = int(
+        sum(len(s) for s, _ in host_patches))
+
+    sa_out = sa_full[:n] if int(sa_full.shape[0]) > n else sa_full
+    del sa_full
+    if host_patches:
+        from hpc_suffix_array_tpu.core.bigsort import _apply_residue
+        sa_out, lcp, n_host = _apply_residue(
+            sa_out, lcp, host_text, host_patches, n, want_lcp)
+        meta["n_patched"] = meta.get("n_patched", 0) + n_host
+    return sa_out, lcp

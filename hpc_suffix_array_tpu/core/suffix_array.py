@@ -316,7 +316,7 @@ def build_suffix_array(text, info: dict | None = None,
             return out
         except NotImplementedError:
             if n > 1 << 28:       # no doubling fallback fits HBM there
-                raise             # (the sharded builder handles these)
+                return sais_host_fallback(arr, info)
     elif n > int(os.environ.get("SA_CHAIN_MIN", 1 << 22)):
         from hpc_suffix_array_tpu.core.bigsort import (
             build_suffix_array_big, build_suffix_array_direct,
@@ -350,6 +350,37 @@ def build_suffix_array(text, info: dict | None = None,
     if info is not None:
         info["path"] = "doubling"
     return sa[n_pad - n:]
+
+
+def sais_host_fallback(arr: np.ndarray, info: dict | None = None):
+    """Last-resort builder: host SA-IS (native C, O(n)) for texts every
+    device path declined.
+
+    With device refinement (core/refine.py) the carried-keys builders
+    resolve any bounded-depth tie structure, so this fires only for
+    adversarial corpora — e.g. a >256 MiB text dominated by one
+    non-periodic multi-megabyte repeated block (deep AND wide ties
+    beyond the refinement caps). The reference handles such inputs in
+    its O(n log n) C core (src/sequential/manber_myers.c:81-133); this
+    repo must never refuse a valid input either (r5), and SA-IS is
+    O(n) — typically FASTER than the reference on these monsters. The
+    result returns committed to the host CPU backend: shipping 4 GiB
+    through the ~20 MB/s device tunnel would add minutes for an array
+    the caller most likely consumes on the host anyway.
+    """
+    from hpc_suffix_array_tpu import native
+
+    if not native.available():
+        raise NotImplementedError(
+            "text declined by every device builder and the native "
+            "SA-IS fallback is unavailable (no C compiler)")
+    sa_np = native.sa_build(arr)
+    if info is not None:
+        info["path"] = "sais_host"
+    try:
+        return jax.device_put(sa_np, jax.devices("cpu")[0])
+    except RuntimeError:
+        return jnp.asarray(sa_np)
 
 
 def as_byte_array(text) -> np.ndarray:

@@ -57,6 +57,54 @@ def generate_dna_text(n: int, seed: int = 0) -> np.ndarray:
     return DNA[rng.integers(0, 4, n)]
 
 
+def generate_words_text(n: int, seed: int = 0, vocab_size: int = 1 << 14,
+                        octaves: int | None = None) -> np.ndarray:
+    """Zipfian dictionary-word stream — the natural-text proxy (r5).
+
+    The reference's corpus families (random / repetitive / DNA) never
+    exercise the tie structure a real index server sees: natural
+    language, source code, and logs repeat short symbol windows at
+    massive width but bounded depth.  This family models that with a
+    space-separated stream of dictionary words drawn Zipf-like
+    (P(word k) ~ 1/k): pick an OCTAVE uniformly, then a word uniformly
+    within it — each octave carries equal total mass, the discrete
+    analog of the 1/k law, using integer draws only (the same scheme
+    utils/twin.twin_words runs on-device).  Word lengths 2-9 chars,
+    alnum + space alphabet.  Fully vectorized assembly (no per-word
+    Python loop): ~100 MB/s host generation.
+    """
+    rng = np.random.default_rng(seed)
+    if octaves is None:
+        octaves = max(1, int(vocab_size).bit_length() - 1)
+    vocab_size = 1 << octaves
+    lens = rng.integers(2, 10, vocab_size)          # word chars, 2..9
+    lmax = 10                                       # + separator
+    tab = np.zeros((vocab_size, lmax), np.uint8)
+    for L in range(2, 10):
+        rows = np.flatnonzero(lens == L)
+        tab[rows[:, None], np.arange(L)[None, :]] = ALNUM[
+            rng.integers(0, len(ALNUM), (len(rows), L))]
+        tab[rows, L] = ord(" ")
+    wl = (lens + 1).astype(np.int64)                # emitted cell length
+
+    parts = []
+    total = 0
+    while total < n:
+        k = max(1 << 14, (n - total) // 4)
+        o = rng.integers(0, octaves, k)
+        ids = (1 << o) + (rng.integers(0, 1 << 62, k) & ((1 << o) - 1))
+        ids = np.minimum(ids, vocab_size - 1)
+        L = wl[ids]
+        ends = np.cumsum(L)
+        starts = ends - L
+        m = int(ends[-1])
+        wid = np.repeat(ids, L)
+        intra = np.arange(m, dtype=np.int64) - np.repeat(starts, L)
+        parts.append(tab[wid, intra])
+        total += m
+    return np.concatenate(parts)[:n]
+
+
 def _write_with_meta(path: pathlib.Path, data: np.ndarray,
                      kind: str) -> None:
     """Write corpus + MD5 .meta sidecar (reference :30-51), chunked."""

@@ -130,6 +130,99 @@ def twin_corpus(n: int, n_pad: int | None = None, *, seed: int = 0xBEEF,
     return host, buf
 
 
+WORD_CELL = 8                   # 7-char word + space per cell
+WORD_OCTAVES = 14               # vocab = 2^14 words, Zipf-like by octave
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _gen_words_chunk(key, i, start, n, m: int, vocab_tab):
+    """uint8[m] chunk of the Zipfian word stream (m % WORD_CELL == 0).
+
+    Word ids are drawn with INTEGER ops only (uniform octave + uniform
+    offset within it — equal mass per octave, the discrete 1/k law), so
+    the device and host copies are bit-identical across backends like
+    every other twin family.  Bytes come from one (2^14, 8) vocab-table
+    gather per cell."""
+    cells = m // WORD_CELL
+    k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+    o = jax.random.randint(k1, (cells,), 0, WORD_OCTAVES, dtype=jnp.int32)
+    r = jax.random.randint(k2, (cells,), 0, jnp.int32(1) << 30,
+                           dtype=jnp.int32)
+    ids = (jnp.int32(1) << o) + (r & ((jnp.int32(1) << o) - 1))
+    val = vocab_tab[ids].reshape(m)
+    pos = start + lax.iota(jnp.int32, m)
+    return jnp.where(pos < n, val, jnp.uint8(0))
+
+
+def words_vocab(seed: int = 0x60D) -> np.ndarray:
+    """Deterministic (2^WORD_OCTAVES, WORD_CELL) vocab table:
+    7 random alnum chars + a trailing space per word."""
+    rng = np.random.default_rng(seed)
+    alnum = np.frombuffer(
+        b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+        dtype=np.uint8)
+    tab = np.empty((1 << WORD_OCTAVES, WORD_CELL), np.uint8)
+    tab[:, :7] = alnum[rng.integers(0, len(alnum),
+                                    ((1 << WORD_OCTAVES), 7))]
+    tab[:, 7] = ord(" ")
+    return tab
+
+
+def twin_words(n: int, n_pad: int | None = None, *, seed: int = 0x90D5,
+               chunk: int = GEN_CHUNK,
+               device=None) -> tuple[np.ndarray, jax.Array]:
+    """(host uint8[n], device uint8[n_pad]): the Zipfian word corpus.
+
+    The natural-text proxy family (datasets.generate_words_text
+    documents the model) at benchmark sizes with zero bulk staging:
+    fixed 8-byte cells (7-char word + space) let both copies assemble
+    from one integer-PRNG + small-table-gather program per chunk.
+    Checksum-verified identical, like twin_corpus."""
+    if n_pad is None:
+        n_pad = n
+    if n_pad < n:
+        raise ValueError("n_pad must be >= n")
+    key = jax.random.PRNGKey(seed)
+    cpu = jax.devices("cpu")[0]
+    if device is None:
+        device = jax.devices()[0]
+    tab_host = words_vocab()
+
+    k_host = jax.device_put(key, cpu)
+    tab_h = jax.device_put(tab_host, cpu)
+    host = np.empty(n, np.uint8)
+    for c in range(-(-n // chunk)):
+        start = c * chunk
+        piece = _gen_words_chunk(k_host, c, jnp.int32(start), jnp.int32(n),
+                                 chunk, tab_h)
+        take = min(chunk, n - start)
+        host[start:start + take] = np.asarray(piece)[:take]
+
+    if device.platform == "cpu":
+        pad = np.zeros(n_pad, np.uint8)
+        pad[:n] = host
+        return host, jax.device_put(pad, device)
+
+    k_dev = jax.device_put(key, device)
+    tab_d = jax.device_put(tab_host, device)
+    n_pieces = -(-n_pad // chunk)
+    buf = jax.device_put(jnp.zeros(n_pieces * chunk, jnp.uint8), device)
+    for c in range(n_pieces):
+        piece = _gen_words_chunk(k_dev, c, jnp.int32(c * chunk),
+                                 jnp.int32(n), chunk, tab_d)
+        buf = _write(buf, piece, jnp.int32(c * chunk))
+    if buf.shape[0] != n_pad:
+        buf = buf[:n_pad]
+
+    dev_sum = int(jax.device_get(_checksum(buf)))
+    host_sum = int(np.sum(host, dtype=np.int32))
+    if dev_sum != host_sum:
+        raise RuntimeError(
+            f"twin words checksum mismatch (device {dev_sum} != host "
+            f"{host_sum}); backends disagree on integer PRNG output")
+    return host, buf
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _tile_pattern(pat, n_pad: int, n):
     """uint8[n_pad]: pat tiled to cover n positions, 0 past n."""

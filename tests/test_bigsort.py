@@ -87,15 +87,19 @@ def test_period_two(rng):
     _check(np.tile(np.frombuffer(b"ab", np.uint8), 15_000))
 
 
-def test_broken_period_raises(rng):
-    """P^k X P^k: chains exist but delta is not a global period - must
-    fail loudly, not silently misorder."""
+def test_broken_period_builds_exactly(rng):
+    """P^k X P^k: chains exist but delta is not a global period. Before
+    r5 this had to fail loudly; with device refinement the chain
+    misprediction falls back to ascending mode and resolves the deep
+    tie mass exactly (chain_to_ascending recorded honestly)."""
     pat = ALNUM[rng.integers(0, 62, 500)]
     text = np.concatenate([np.tile(pat, 30),
                            ALNUM[rng.integers(0, 62, 100)],
                            np.tile(pat, 30)])
-    with pytest.raises(NotImplementedError, match="doubling|sharded"):
-        build_suffix_array_big(text, **TINY)
+    info = {}
+    sa = build_suffix_array_big(text, info=info, **TINY)
+    assert np.array_equal(np.asarray(sa), suffix_array_oracle(text))
+    assert "chain_to_ascending" in info.get("rerun", [])
 
 
 def test_single_chunk_single_bucket(rng):

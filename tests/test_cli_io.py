@@ -237,3 +237,23 @@ def test_run_benchmark_fused_route(monkeypatch):
     # The fused route makes the lcp phase a fence: far below the sa
     # phase, where the old back-to-back form re-ran the whole build.
     assert r.lcp_time < r.sa_time
+
+
+def test_cli_failure_emits_structured_failed_block(monkeypatch, capsys):
+    """A build failure must produce an actionable error + a parseable
+    FAILED block and exit nonzero, never a traceback (the reference CLI
+    never crashes on a valid input, main_sequential.c:52-162; harnesses
+    key off returncode + STRUCTURED_RESULTS)."""
+    import hpc_suffix_array_tpu.core.suffix_array as sa_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: injected for test")
+
+    monkeypatch.setattr(sa_mod, "build_suffix_array", boom)
+    rc = main(["banana"])
+    assert rc == 1
+    out = capsys.readouterr()
+    assert "STATUS:FAILED" in out.out
+    assert "ERROR:RuntimeError" in out.out
+    assert "===STRUCTURED_RESULTS===" in out.out
+    assert "build failed" in out.err
