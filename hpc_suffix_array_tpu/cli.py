@@ -217,8 +217,29 @@ def main(argv=None) -> int:
     p.add_argument("--no-validate", action="store_true",
                    help="skip the O(n) self-validation pass")
     p.add_argument("--dialect", choices=["sequential", "mpi", "both"],
-                   default="sequential",
-                   help="STRUCTURED_RESULTS dialect to emit")
+                   default=None,
+                   help="STRUCTURED_RESULTS dialect to emit (default: "
+                        "sequential; mpi under --distributed)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-process worker mode: initialize "
+                        "jax.distributed and run the one-pass MSD build "
+                        "with per-process block feeds (the reference's "
+                        "mpirun model, src/mpi/main_mpi.c)")
+    p.add_argument("--spawn", type=int, metavar="P", default=None,
+                   help="launcher (mpirun analog): spawn P --distributed "
+                        "worker processes on a free local port and wait")
+    p.add_argument("--processes", type=int, default=None,
+                   help="total process count for --distributed "
+                        "(or SA_NUM_PROCESSES)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's id for --distributed "
+                        "(or SA_PROCESS_ID)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of the jax.distributed coordinator "
+                        "for --distributed (or SA_COORDINATOR)")
+    p.add_argument("--devices-per-process", type=int, default=2,
+                   help="virtual CPU devices per worker (the "
+                        "oversubscribe analog; ignored on real pods)")
     p.add_argument("--string", action="store_true",
                    help="force the argument to be a literal string")
     p.add_argument("--file", dest="force_file", action="store_true",
@@ -227,6 +248,15 @@ def main(argv=None) -> int:
                    help="write a jax.profiler device trace to DIR "
                         "(TensorBoard profile plugin)")
     args = p.parse_args(argv)
+    if args.dialect is None:
+        args.dialect = "mpi" if (args.distributed
+                                 or args.spawn) else "sequential"
+    if args.spawn:
+        from hpc_suffix_array_tpu.cli_distributed import spawn
+        return spawn(args, [])
+    if args.distributed:
+        from hpc_suffix_array_tpu.cli_distributed import run_distributed
+        return run_distributed(args)
 
     from hpc_suffix_array_tpu.utils.io import (
         print_first_chars, print_last_chars, read_file)
