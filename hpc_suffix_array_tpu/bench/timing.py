@@ -45,6 +45,11 @@ class BenchmarkResult:
     lrs_length: int = 0
     valid: bool | None = None
     compile_time: float = 0.0
+    # Which builder served the SA phase (direct/msd/doubling/sharded_*)
+    # — speedup/efficiency pairs whose baseline ran a DIFFERENT builder
+    # measure routing luck, not scaling, and are flagged downstream
+    # (add_speedup_efficiency; r4 VERDICT weak #6).
+    builder: str = ""
 
     def as_row(self) -> dict:
         return asdict(self)
@@ -64,7 +69,8 @@ def _strong_fence(x):
     return x
 
 
-def _pipeline(arr, mesh, timings: PhaseTimings | None, text_dev=None):
+def _pipeline(arr, mesh, timings: PhaseTimings | None, text_dev=None,
+              info: dict | None = None):
     """One SA + LCP + LRS pipeline; phases timed into ``timings`` if given.
 
     ``text_dev``: optional device-resident copy of ``arr`` (zero-padded
@@ -97,15 +103,23 @@ def _pipeline(arr, mesh, timings: PhaseTimings | None, text_dev=None):
         from hpc_suffix_array_tpu.core.lcp import build_sa_lcp
 
         fused = build_sa_lcp
+    elif mesh is not None and int(arr.shape[0]) >= int(
+            os.environ.get("SA_SHARDED_MSD_MIN", 1 << 22)):
+        # Sharded analog of the fused route (r5): one carried-keys pass
+        # with want_lcp instead of SA-then-LCP separately.
+        from hpc_suffix_array_tpu.parallel import build_sa_lcp_sharded
+
+        def fused(a, text_dev=None, info=None):
+            return build_sa_lcp_sharded(a, mesh, info=info)
 
     with phase("sa_build") as out:
         if fused is not None:
-            sa, lcp = fused(arr, text_dev=text_dev)
+            sa, lcp = fused(arr, text_dev=text_dev, info=info)
         elif mesh is None:
-            sa = build_suffix_array(arr, text_dev=text_dev)
+            sa = build_suffix_array(arr, text_dev=text_dev, info=info)
         else:
             from hpc_suffix_array_tpu.parallel import build_suffix_array_sharded
-            sa = build_suffix_array_sharded(arr, mesh)
+            sa = build_suffix_array_sharded(arr, mesh, info=info)
         out["fence"] = sa
     if timings is None:
         _strong_fence(sa)
@@ -153,9 +167,10 @@ def run_benchmark(text, implementation: str = "tpu",
         _pipeline(arr, mesh, None, text_dev)
         warmup_total = time.perf_counter() - t0
 
+    info: dict = {}
     timings = PhaseTimings()
     with phase_timer(timings, "total", fence_fn=_strong_fence):
-        sa, lcp, lrs = _pipeline(arr, mesh, timings, text_dev)
+        sa, lcp, lrs = _pipeline(arr, mesh, timings, text_dev, info)
 
     if warmup:
         compile_time = max(0.0, warmup_total - timings["total"])
@@ -177,4 +192,5 @@ def run_benchmark(text, implementation: str = "tpu",
         lrs_length=len(lrs) if lrs else 0,
         valid=valid,
         compile_time=compile_time,
+        builder=info.get("path", ""),
     )

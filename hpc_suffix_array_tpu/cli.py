@@ -59,11 +59,19 @@ def run(text: np.ndarray, filename: str, backend: str, n_devices: int | None,
     info: dict = {}
     t0 = time.perf_counter()
     if backend == "sharded":
+        import os as _os
+
         from hpc_suffix_array_tpu.parallel import (
-            build_suffix_array_sharded, make_mesh)
+            build_sa_lcp_sharded, build_suffix_array_sharded, make_mesh)
         mesh = make_mesh(n_devices)
         n_procs = int(mesh.devices.size)
-        sa = _fence(build_suffix_array_sharded(text, mesh))
+        if n > int(_os.environ.get("SA_SHARDED_MSD_MIN", 1 << 22)):
+            # Fused sharded SA+LCP (one carried-keys pass, r5) — the
+            # distributed analog of the single-backend fused route.
+            combined = build_sa_lcp_sharded(text, mesh)
+            sa = _fence(combined[0])
+        else:
+            sa = _fence(build_suffix_array_sharded(text, mesh))
     else:
         import os as _os
 

@@ -1649,10 +1649,15 @@ def prefer_direct(arr: np.ndarray, n: int,
         return True
     if est_repeat is None:
         est_repeat = estimate_repeat_len(arr)
-    # 16 = a conservative bound on nw*spw across alphabets (alnum
-    # 2*5, bytes 2*7): deeper sampled repeats mean the builders will
-    # run chain/deep-residue machinery, where direct wins at any n.
-    return est_repeat > 16
+    # Above the cross only chain-class (globally periodic) texts stay
+    # direct: the MSD chain pass pays a count phase + residue
+    # extraction the direct chain build avoids (p1000 at 2^28: direct
+    # 179.8 vs MSD 110.1 MB/s). The r4 gate here (est_repeat > 16)
+    # also caught merely duplication-heavy texts — e.g. the word
+    # corpus, est ~17 from a repeated phrase — whose refinement cost is
+    # route-independent; those now follow the measured random-text
+    # crossover to the MSD like everything else (r5).
+    return chain_plausible(est_repeat, n)
 
 
 def prepare_direct(text, *, text_dev=None, n_words: int | None = None,

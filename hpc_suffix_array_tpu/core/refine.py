@@ -144,14 +144,21 @@ def _unpack_bits(words, m: int):
         m).astype(jnp.bool_)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _extract_chunk(m: int, tie_packed, member_packed, sa_full, base,
-                   lo, hi, n):
-    """Members of slot-chunk [base, base+m) ∩ [lo, hi), compacted first.
+@functools.partial(jax.jit, static_argnums=(0,),
+                   donate_argnums=(1, 2, 3, 4))
+def _extract_write(m: int, slotP, idxP, headP, off_d, tie_packed,
+                   member_packed, sa_full, base, lo, hi, n):
+    """Extract slot-chunk [base, base+m) ∩ [lo, hi) members and append
+    them into the piece arrays at the DEVICE-resident running offset
+    ``off_d`` (no host sync per chunk — the 26 ms dispatch RTT per
+    round-trip dominated extraction at the 1 GiB geometry, the same
+    lesson as core/bigsort's count-free fill vector).
 
-    Returns (slot int32[m]: ascending member slots then SLOT_PAD pads,
-    idx int32[m] aligned, head int32[m]: 1 where the member starts a
-    group).  Pad rows carry idx = n (the all-pad window sentinel)."""
+    Members compact first (ascending slot; SLOT_PAD pads; pad rows
+    carry idx = n, head = 1).  Fixed-width m windows in ascending
+    offset order: the spill past the true member count is healed by the
+    next chunk's write / the piece arrays' m-slack tail.  ``head`` =
+    NOT tie[slot]: the member starts a group."""
     w0 = base // 32
     tie_b = _unpack_bits(lax.dynamic_slice(tie_packed, (w0,), (m // 32,)),
                          m)
@@ -163,20 +170,13 @@ def _extract_chunk(m: int, tie_packed, member_packed, sa_full, base,
     key = jnp.where(mem_b, slot, SLOT_PAD)
     idx = jnp.where(mem_b, idx, n)
     head = jnp.where(tie_b, 0, 1).astype(jnp.int32)
-    return lax.sort((key, idx, head), num_keys=1, is_stable=False)
-
-
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2, 3))
-def _piece_write(m: int, slotP, idxP, headP, s_key, s_idx, s_head, off):
-    """Append one extracted chunk window into the piece arrays.
-
-    Fixed-width m windows in ascending ``off`` order: the tail past the
-    chunk's true member count spills onto the region the next chunk's
-    write covers (the piece arrays carry an m-slack tail for the last).
-    """
+    s_key, s_idx, s_head = lax.sort((key, idx, head), num_keys=1,
+                                    is_stable=False)
+    off = off_d[0]
     return (lax.dynamic_update_slice(slotP, s_key, (off,)),
             lax.dynamic_update_slice(idxP, s_idx, (off,)),
-            lax.dynamic_update_slice(headP, s_head, (off,)))
+            lax.dynamic_update_slice(headP, s_head, (off,)),
+            off_d + jnp.sum(mem_b.astype(jnp.int32)))
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2, 3))
@@ -478,17 +478,13 @@ def refine_ties(text_pad, sa_full, lcp, tie_src, n: int, *, spw_main: int,
         slotP = jnp.full((S + ch,), SLOT_PAD, jnp.int32)
         idxP = jnp.full((S + ch,), jnp.int32(n), jnp.int32)
         headP = jnp.ones((S + ch,), jnp.int32)
-        off = 0
+        off_d = jnp.zeros((1,), jnp.int32)
         for c in range(plo // ch, (phi - 1) // ch + 1):
-            base = c * ch
-            s_key, s_idx, s_head = _extract_chunk(
-                ch, tie_packed, member_packed, sa_full, jnp.int32(base),
+            slotP, idxP, headP, off_d = _extract_write(
+                ch, slotP, idxP, headP, off_d, tie_packed,
+                member_packed, sa_full, jnp.int32(c * ch),
                 jnp.int32(plo), jnp.int32(phi), jnp.int32(n))
-            slotP, idxP, headP = _piece_write(
-                ch, slotP, idxP, headP, s_key, s_idx, s_head,
-                jnp.int32(off))
-            off += range_count(max(base, plo), min(base + ch, phi))
-        assert off == cnt, (off, cnt)
+        assert int(jax.device_get(off_d)[0]) == cnt, (off_d, cnt)
         slotP, idxP, headP = _piece_trim(S, slotP, idxP, headP,
                                          jnp.int32(cnt), jnp.int32(n))
 

@@ -150,7 +150,8 @@ def suffix_array_from_bytes_sharded(mesh: Mesh, bits: int, h0: int):
     return jax.jit(f)
 
 
-def build_suffix_array_sharded(text, mesh: Mesh | None = None) -> jnp.ndarray:
+def build_suffix_array_sharded(text, mesh: Mesh | None = None,
+                               info: dict | None = None) -> jnp.ndarray:
     """Suffix array of ``text``, computed block-sharded over ``mesh``.
 
     Same pad-sentinel scheme as the single-device builder
@@ -173,13 +174,30 @@ def build_suffix_array_sharded(text, mesh: Mesh | None = None) -> jnp.ndarray:
     if n == 0:
         return jnp.zeros((0,), jnp.int32)
     msd_min = int(os.environ.get("SA_SHARDED_MSD_MIN", 1 << 22))
-    if n >= msd_min:
+    try_msd = n >= msd_min
+    if not try_msd and n >= int(os.environ.get("SA_SHARDED_CHAIN_MIN",
+                                               1 << 16)):
+        # Mid-size deep-repeat texts (the reference's repetitive corpus
+        # family): the doubling loop pays log2(n) rounds x the bitonic
+        # network before ranks separate, while the MSD chain pass
+        # finishes them in one windowed sort (the r4 single-device
+        # routing fix, core/suffix_array.py — r5 ports it here: the
+        # mesh sweep measured repetitive_1MB at 8.9-16.9 s sharded vs
+        # 0.33 s single-device before this gate).
+        from hpc_suffix_array_tpu.core.bigsort import estimate_repeat_len
+        try_msd = estimate_repeat_len(arr) > 3 * 16
+    if try_msd:
         from hpc_suffix_array_tpu.parallel.bigsort import (
             build_suffix_array_sharded_big)
         try:
-            return build_suffix_array_sharded_big(arr, mesh)
+            out = build_suffix_array_sharded_big(arr, mesh)
+            if info is not None:
+                info["path"] = "sharded_msd"
+            return out
         except NotImplementedError:
             pass                     # irregular ties: doubling handles them
+    if info is not None:
+        info["path"] = "sharded_doubling"
     # Shard width padded to the lane quantum so local arrays tile cleanly.
     n_pad = bucket_size(n, multiple_of=n_shards * 128)
     remap, bits, h0 = alphabet_remap(arr)

@@ -176,6 +176,11 @@ def generate_comparative_charts(results_dir="results/benchmarks",
     axes[0, 1].legend()
 
     par = df[df.backend.astype(str).str.contains("_sharded_")]
+    if "builder_mismatch" in par.columns:
+        # Pairs whose baseline ran a different builder measure routing
+        # luck, not scaling (bench/harness.add_speedup_efficiency) —
+        # they stay in the CSV, labeled, but never plot as efficiency.
+        par = par[~par.builder_mismatch.astype(bool)]
     if "speedup" in par.columns and not par.empty:
         for backend, g in par.groupby("backend"):
             axes[1, 0].semilogx(g.size_bytes, g.speedup, "o-", label=backend)

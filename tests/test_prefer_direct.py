@@ -63,9 +63,14 @@ def test_infeasible_above_max(knobs):
 
 def test_est_repeat_hint_respected(knobs):
     # A caller-supplied est_repeat skips the sampling pass and decides
-    # chain-class directly.
+    # chain-class directly. Chain-class means the estimate saturates
+    # near the 4096-byte probe depth (globally periodic texts always
+    # do — chain_plausible); a merely long repeat (e.g. a word corpus's
+    # repeated phrase) is NOT chain-class and follows the measured
+    # random-text crossover to the MSD (r5).
     t = _random_text(3 << 14)
-    assert prefer_direct(t, len(t), est_repeat=1000)
+    assert prefer_direct(t, len(t), est_repeat=4000)
+    assert not prefer_direct(t, len(t), est_repeat=1000)
     assert not prefer_direct(t, len(t), est_repeat=4)
 
 
