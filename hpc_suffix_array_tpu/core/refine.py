@@ -466,15 +466,22 @@ def refine_ties(text_pad, sa_full, lcp, tie_src, n: int, *, spw_main: int,
     # ---- packed-word table (reserved-0), chunked build ----------------
     # One pad chunk past n_pack guarantees pk[n] is the all-pad word
     # even when n is chunk-aligned (the gathers clamp to n).
+    import time as _time
+
+    _t0 = _time.perf_counter()
     pk = jnp.zeros((n_pack + ch,), jnp.int32)
     for c in range(n_chunks):
         pk = _pk_chunk(ch, spw, bits, pk, text_pad, jnp.int32(c * ch),
                        jnp.int32(n), ranges, vals)
+    _ = jax.device_get(pk[-1])                       # fence for the stamp
+    phases = {"pk": round(_time.perf_counter() - _t0, 3),
+              "extract": 0.0, "rounds": 0.0, "host_fetch": 0.0}
 
     host_patches = []            # (slots int64[], idxs int32[])
     rounds_max = 0
     for (plo, phi, cnt) in pieces:
         S = max(_pow2(cnt), min(1 << 10, _pow2(n)))
+        _t0 = _time.perf_counter()
         slotP = jnp.full((S + ch,), SLOT_PAD, jnp.int32)
         idxP = jnp.full((S + ch,), jnp.int32(n), jnp.int32)
         headP = jnp.ones((S + ch,), jnp.int32)
@@ -487,6 +494,8 @@ def refine_ties(text_pad, sa_full, lcp, tie_src, n: int, *, spw_main: int,
         assert int(jax.device_get(off_d)[0]) == cnt, (off_d, cnt)
         slotP, idxP, headP = _piece_trim(S, slotP, idxP, headP,
                                          jnp.int32(cnt), jnp.int32(n))
+        phases["extract"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         seg = _seg_init(S, headP)
         del headP
@@ -525,6 +534,8 @@ def refine_ties(text_pad, sa_full, lcp, tie_src, n: int, *, spw_main: int,
                 patch = jnp.full((S2,), -1, jnp.int32)
                 S = S2
         rounds_max = max(rounds_max, rounds)
+        phases["rounds"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         if tied:
             s_key, s_idx, _s_head, mcount_d = _tied_extract(
                 S, seg, idxP, slotP)
@@ -544,8 +555,10 @@ def refine_ties(text_pad, sa_full, lcp, tie_src, n: int, *, spw_main: int,
         if want_lcp:
             lcp = _scatter_patch(lcp, slotP, patch)
         del slotP, idxP, seg, patch
+        phases["host_fetch"] += _time.perf_counter() - _t0
 
     del tie_packed, member_packed, pk
+    meta["refine_phase_s"] = {k: round(v, 3) for k, v in phases.items()}
     if lcp is not None and int(lcp.shape[0]) > n:
         lcp = lcp[:n]            # free a slab-length lcp buffer
     meta["refine_rounds"] = rounds_max
