@@ -22,7 +22,11 @@ host-side samplers (r4):
     reruns;
   * min_tail  — power-of-two alphabet with a long minimum-symbol tail
     run: under minpad packing those suffixes all pack to key 0,
-    colliding with past-end padding semantics.
+    colliding with past-end padding semantics;
+  * words     — Zipfian dictionary-word stream (r5; the natural-text
+    proxy): window-tie mass far beyond every host residue cap, driving
+    the device refinement pass (core/refine.py) with randomized
+    refinement knobs (piece size, round budget, host-finish budget).
 Every build reports its meta through ``info`` and the soak asserts the
 rerun chain stays BOUNDED (<= 3 entries) — a misprediction may re-run
 once or twice, never loop.
@@ -43,7 +47,13 @@ ALNUM = np.frombuffer(
 
 def _draw_adversarial(rng, n: int) -> np.ndarray:
     """Corpora engineered against the samplers (module docstring)."""
-    kind = int(rng.integers(0, 3))
+    kind = int(rng.integers(0, 4))
+    if kind == 3:                         # words (drives refinement)
+        from hpc_suffix_array_tpu.datasets.generate import (
+            generate_words_text)
+        return generate_words_text(n, seed=int(rng.integers(0, 1 << 30)),
+                                   vocab_size=int(rng.choice(
+                                       [1 << 8, 1 << 11, 1 << 14])))
     if kind == 0:                         # probe_edge
         t = ALNUM[rng.integers(0, 62, n)]
         blk = int(rng.choice([3800, 4090, 4096, 4200, 5000]))
@@ -114,6 +124,15 @@ def main():
         os.environ["SA_CF_MARGIN"] = str(
             float(rng.choice([0.06, 0.02, -0.3])))   # -0.3 forces reruns
         os.environ["SA_BIG_COUNT_FREE"] = str(int(rng.integers(0, 2)))
+        # Refinement knobs (r5): small host caps force the device
+        # deepening rounds; tiny piece targets force multi-piece cuts.
+        os.environ["SA_HOST_RESIDUE_MAX"] = str(
+            int(rng.choice([8, 512, 32768])))
+        os.environ["SA_REFINE_PIECE"] = str(
+            int(rng.choice([1 << 10, 1 << 14, 1 << 22])))
+        os.environ["SA_REFINE_HOST_PIECE"] = str(
+            int(rng.choice([1, 64, 1 << 16])))
+        os.environ["SA_REFINE_ROUNDS"] = str(int(rng.choice([2, 8, 64])))
         ref = np.asarray(suffix_array_oracle(text.tobytes()))
         info: dict = {}
         sa = np.asarray(build_suffix_array(text, info=info))

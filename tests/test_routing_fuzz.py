@@ -22,7 +22,13 @@ ALNUM = np.frombuffer(
 
 def _draw(rng, n: int) -> np.ndarray:
     """One random corpus: pick a generator class, then mutate."""
-    kind = rng.integers(0, 7)
+    kind = rng.integers(0, 8)
+    if kind == 7:                         # Zipfian words (r5: refinement)
+        from hpc_suffix_array_tpu.datasets.generate import (
+            generate_words_text)
+        return generate_words_text(
+            n, seed=int(rng.integers(0, 1 << 30)),
+            vocab_size=int(rng.choice([1 << 8, 1 << 12])))
     if kind == 0:
         t = rng.integers(0, 256, n).astype(np.uint8)
     elif kind == 1:
