@@ -5,7 +5,7 @@
 
 PY ?= python
 
-.PHONY: test test-correctness test-parallel bench bench-all data charts clean help weak-scaling bench-full
+.PHONY: test test-correctness test-parallel test-distributed bench bench-all data charts clean help weak-scaling bench-full
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -22,6 +22,14 @@ test-correctness:
 test-parallel:
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	  $(PY) -m pytest tests/test_parallel.py -q
+
+# REAL multi-process run: 2 OS workers over jax.distributed on the
+# banana fixture — the exact launch shape of the reference's
+# `make test-mpi` (mpirun -np 4 ./bin/main_mpi test_data/banana.txt).
+test-distributed: data
+	$(PY) -m hpc_suffix_array_tpu.cli test_data/banana.txt --spawn 2 \
+	  | grep -q "MPI_PROCESSES:2"
+	@echo "distributed CLI: OK"
 
 bench:
 	$(PY) bench.py
@@ -44,7 +52,7 @@ clean:
 	rm -f hpc_suffix_array_tpu/native/_native_*.so
 
 help:
-	@echo "targets: test test-correctness test-parallel bench bench-all data charts clean"
+	@echo "targets: test test-correctness test-parallel test-distributed bench bench-all data charts clean"
 
 # Weak-scaling proxy sweep on the virtual CPU mesh (commits evidence
 # under results/weak_scaling/ — see BASELINE.md for the metric).

@@ -30,16 +30,18 @@ from hpc_suffix_array_tpu.core.lcp import build_lcp_array, build_sa_lcp
 from hpc_suffix_array_tpu.core.lrs import find_longest_repeated_substring
 from hpc_suffix_array_tpu.core.validate import is_valid_suffix_array
 from hpc_suffix_array_tpu.parallel import (
+    build_sa_lcp_sharded,
     build_suffix_array_sharded,
     make_mesh,
 )
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "SuffixArray",
     "build_suffix_array",
     "build_suffix_array_sharded",
+    "build_sa_lcp_sharded",
     "make_mesh",
     "build_lcp_array",
     "build_sa_lcp",
