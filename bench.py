@@ -456,7 +456,8 @@ def main() -> None:
                                          else "msd_bigsort")
                     if meta.get("rerun"):
                         extra["rerun"] = meta["rerun"]
-                    for k in ("refine_members", "refine_rounds"):
+                    for k in ("refine_members", "refine_rounds",
+                              "refine_phase_s"):
                         if meta.get(k):
                             extra[k] = meta[k]
                     del dev, state

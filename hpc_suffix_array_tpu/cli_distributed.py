@@ -160,12 +160,22 @@ def run_distributed(args) -> int:
         if take:
             block[:take] = arr[start:start + take]
 
+    def _fence(x):
+        # Completion fence on a sharded array: fetch one element of a
+        # locally-addressable shard (block_until_ready is an enqueue
+        # fence on some transports).
+        sh = x.addressable_shards[0].data
+        import jax as _j
+        _j.device_get(sh[-1:])
+
     # ---- build: one-pass MSD, doubling as the any-skew fallback ------
     t0 = time.time()
     path = "sharded_msd_mp"
     try:
         sa_pad, lcp_pad = build_suffix_array_sharded_big_mp(
             block, n, mesh, want_lcp=True)
+        _fence(sa_pad)
+        _fence(lcp_pad)
     except (NotImplementedError, ValueError):
         # Doubling fallback needs the replicated text (exactly the
         # reference's own model) plus a separate LCP pass.
@@ -182,12 +192,13 @@ def run_distributed(args) -> int:
         else:
             full = np.frombuffer(literal, np.uint8)
         sa = build_suffix_array_sharded(full, mesh)
+        _fence(sa)
         t1 = time.time()
         lcp = build_lcp_array_sharded(full, sa, mesh)
-        sa_pad, lcp_pad, pad_off = sa, lcp, 0
+        _fence(lcp)
+        sa_pad, lcp_pad = sa, lcp
     else:
         t1 = time.time()
-        pad_off = None
 
     # ---- LRS via global-array reductions (replicated scalars) --------
     @jax.jit
@@ -200,9 +211,10 @@ def run_distributed(args) -> int:
 
     lrs_len, lrs_start = (int(x) for x in
                           jax.device_get(lrs_stats(sa_pad, lcp_pad)))
-    if path == "sharded_msd_mp":
-        t1 = time.time()
     t2 = time.time()
+    # Fused-route attribution (same policy as the sequential CLI): the
+    # mp build derives SA and LCP in one pass, timed as SA_TIME; the
+    # LRS reduction is the LCP/LRS phase.
     sa_time, lcp_time, total_time = t1 - t0, t2 - t1, t2 - t0
 
     valid = None
