@@ -179,10 +179,12 @@ def _extract_write(m: int, slotP, idxP, headP, off_d, tie_packed,
             off_d + jnp.sum(mem_b.astype(jnp.int32)))
 
 
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0,))
 def _piece_trim(S: int, slotP, idxP, headP, cnt, n):
     """Force rows at positions >= cnt to the pad state (the last
-    extraction window's spill wrote arbitrary non-member rows there)."""
+    extraction window's spill wrote arbitrary non-member rows there).
+    Not donated: the outputs are S-shaped slices of (S+slack) inputs,
+    which can never alias (donation would only warn)."""
     iota = lax.iota(jnp.int32, S)
     ok = iota < cnt
     return (jnp.where(ok, slotP[:S], SLOT_PAD),
