@@ -1,22 +1,26 @@
-"""Wide-index (>int32) build at a REAL wide size: the r5 proof run.
+"""Wide-index (>int32 machinery) at REAL size: the r5 proof + limits.
 
-Every prior wide test forced wide_index=True at n <= 2^16; the
-auto-enable threshold (parallel/bigsort.py: n_pad >= 2^31 - 1) had
-never actually fired and nothing had executed the two-word arithmetic
-at a size where it matters.  This script builds n = 2^31 + 2^22 bytes
-(~2.004 GiB... past every int32 index) on the 8-device virtual CPU
-mesh via build_suffix_array_sharded_big WITHOUT passing wide_index —
-asserting the auto-enable fires — and validates the resulting int64
-suffix array with a chunked host O(n) validator (the int32 SA-IS
-oracle cannot go there; the validator's
-permutation + rank-comparison check is a full proof: a unique sorted
-permutation IS the suffix array).
+Every prior wide test forced wide_index=True at n <= 2^16.  This
+script executes the two-word index arithmetic at n = 2^29 (0.5 GiB,
+8192x the old test sizes) on the 8-device virtual CPU mesh and checks
+the int64 result BYTE-EXACT against the SA-IS oracle.
 
-Memory: host text 2.0 GiB + int64 sa 16 GiB + validator isa 16 GiB +
-chunked temps; device (CPU backend) slabs ~10x n x 4 B during the
-build.  Run alone on an idle host.
+Why not n > 2^31 (the auto-enable size)?  Measured on this host
+(2026-08-20): the wide sharded build peaks at **242.7 B/char** on the
+virtual CPU mesh — the proxy holds ALL P shards of every sort column,
+the block-bitonic stage temps, and XLA:CPU's collective copies in ONE
+address space.  At n_pad = 2^31 + 2^28 that is ~587 GB; two attempts
+at n = 2^31 + 2^22 were OOM-killed (127 GB RSS; then ~175 GB with an
+80 GB swap cushion).  This is a proxy-host limit, not a design limit:
+on the real >= 4 GiB multi-host ladder config each chip holds only its
+own shard — ~(4 sort columns x 4 B x ~2.5 live copies) x n/P + the
+text shard ~= 40 B/char x n/P, i.e. ~11 GB/chip at n = 4.3e9 with
+P = 16, inside a v5e's 16 GB HBM.  The auto-enable threshold itself
+(n_pad >= 2^31 - 1) is unit-tested (tests/test_parallel_bigsort.py).
 
-Result artifact: results/wide_index/wide_real.json (+ .txt summary).
+Artifact: results/wide_index/wide_real.{json,txt}.
+
+Usage: python experiments/wide_real.py [log2_n]    (default 29)
 """
 
 import json
@@ -30,10 +34,9 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 from hpc_suffix_array_tpu.utils.hostmem import (  # noqa: E402
-    disable_hugepage_madvise, keep_host_memory_hot)
+    disable_hugepage_madvise)
 
 disable_hugepage_madvise()
-keep_host_memory_hot()
 
 flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
                os.environ.get("XLA_FLAGS", ""))
@@ -43,120 +46,98 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# NEVER the persistent cache for XLA:CPU (TODO.md: profile-mismatched
-# AOT entries sent the dryrun past 33 GB RSS without finishing).
+# No persistent compile cache for XLA:CPU (TODO.md: profile-mismatched
+# AOT entries make the load/recompile cycle run away).
 
 import numpy as np  # noqa: E402
 
 ALNUM = np.frombuffer(
     b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
     np.uint8)
-CH = 1 << 26
 
 
-def gen_text(n: int, seed: int = 0xA11CE) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    out = np.empty(n, np.uint8)
-    for i in range(0, n, CH):
-        m = min(CH, n - i)
-        out[i:i + m] = ALNUM[rng.integers(0, 62, m).astype(np.uint8)]
-    return out
+def peak_tracker():
+    import threading
 
+    peak = [0]
 
-def validate_wide(text: np.ndarray, sa: np.ndarray) -> bool:
-    """Chunked host O(n) suffix-array check for int64 indices.
+    def poll():
+        while True:
+            with open("/proc/self/status") as f:
+                s = f.read()
+            rss = int(re.search(r"VmRSS:\s+(\d+)", s).group(1))
+            sw = int(re.search(r"VmSwap:\s+(\d+)", s).group(1))
+            peak[0] = max(peak[0], rss + sw)
+            time.sleep(0.5)
 
-    1. permutation: every index in [0, n) exactly once;
-    2. order: for adjacent pairs (a, b): text[a] < text[b], or
-       text[a] == text[b] and rank(a+1) < rank(b+1) with rank(n) = -1
-       (suffix n is the empty string, smaller than all) — the standard
-       O(n) reduction: if the permutation is consistent under its own
-       successor ranks, it is sorted."""
-    n = len(text)
-    seen = np.zeros(n, bool)
-    for i in range(0, n, CH):
-        blk = sa[i:i + CH]
-        if blk.min() < 0 or blk.max() >= n:
-            return False
-        seen[blk] = True
-    if not seen.all():
-        return False
-    del seen
-    isa = np.empty(n, np.int64)
-    for i in range(0, n, CH):
-        isa[sa[i:i + CH]] = np.arange(i, min(i + CH, n), dtype=np.int64)
-    ok = True
-    for i in range(0, n - 1, CH):
-        a = sa[i:i + CH + 1][:-1] if i + CH < n else sa[i:n - 1]
-        b = sa[i + 1:i + 1 + len(a)]
-        ta, tb = text[a], text[b]
-        if (ta > tb).any():
-            return False
-        eq = ta == tb
-        if eq.any():
-            ae, be = a[eq], b[eq]
-            ra = np.where(ae + 1 < n, isa[np.minimum(ae + 1, n - 1)], -1)
-            rb = np.where(be + 1 < n, isa[np.minimum(be + 1, n - 1)], -1)
-            if (ra >= rb).any():
-                return False
-    return ok
+    threading.Thread(target=poll, daemon=True).start()
+    return peak
 
 
 def main() -> None:
-    n = (1 << 31) + (1 << 22)
-    print(f"n = {n} (2^31 + 2^22); generating...", flush=True)
-    t0 = time.perf_counter()
-    text = gen_text(n)
-    print(f"generated in {time.perf_counter() - t0:.0f}s", flush=True)
+    lg = int(sys.argv[1]) if len(sys.argv) > 1 else 29
+    n = 1 << lg
+    peak = peak_tracker()
+    rng = np.random.default_rng(1)
+    text = ALNUM[rng.integers(0, 62, n).astype(np.int64)]
 
     from hpc_suffix_array_tpu.parallel import (
         build_suffix_array_sharded_big, make_mesh)
 
     mesh = make_mesh(8)
     t0 = time.perf_counter()
-    # wide_index NOT passed: the auto-enable must fire (asserted below
-    # by the dtype of the result).
-    sa = build_suffix_array_sharded_big(text, mesh)
-    sa = np.asarray(sa)
+    sa = np.asarray(build_suffix_array_sharded_big(text, mesh,
+                                                   wide_index=True))
     build_s = time.perf_counter() - t0
-    assert sa.dtype == np.int64, (
-        f"expected the auto-enabled WIDE build (int64 host assembly), "
-        f"got {sa.dtype}")
-    assert int(sa.max()) >= (1 << 31), (
-        "no index past int32 — not a wide-range proof")
-    print(f"built in {build_s:.0f}s ({n / build_s / 1e6:.1f} MB/s "
-          "aggregate, 8 virtual CPU devices / 4 cores)", flush=True)
+    assert sa.dtype == np.int64, sa.dtype
+    print(f"n=2^{lg} wide build: {build_s:.0f}s, peak "
+          f"{peak[0] / 1048576:.1f} GiB "
+          f"({peak[0] * 1024 / n:.1f} B/char)", flush=True)
 
     t0 = time.perf_counter()
-    ok = validate_wide(text, sa)
+    from hpc_suffix_array_tpu.native import sa_build
+    ref = sa_build(text)
+    exact = bool(np.array_equal(sa, ref.astype(np.int64)))
     val_s = time.perf_counter() - t0
-    print(f"validate_wide: {ok} in {val_s:.0f}s", flush=True)
+    print(f"SA-IS oracle byte-exact: {exact} ({val_s:.0f}s)", flush=True)
+    assert exact
 
     out = REPO / "results" / "wide_index"
     out.mkdir(parents=True, exist_ok=True)
     rec = {
         "n": n,
-        "n_past_int32": int(sa.max()) - ((1 << 31) - 1),
         "mesh": 8,
         "platform": "cpu_virtual_mesh",
         "build_seconds": round(build_s, 1),
-        "aggregate_MBps": round(n / build_s / 1e6, 2),
-        "validated": bool(ok),
-        "validator": "chunked host O(n) permutation+rank check "
-                     "(int32 SA-IS oracle cannot reach this n)",
-        "auto_wide_enabled": True,
+        "peak_bytes_per_char": round(peak[0] * 1024 / n, 1),
+        "oracle_exact": exact,
+        "scale_vs_prior_wide_tests": n // (1 << 16),
+        "auto_enable_attempts": [
+            {"n": (1 << 31) + (1 << 22), "result": "OOM at 127 GB RSS"},
+            {"n": (1 << 31) + (1 << 22),
+             "result": "OOM at ~175 GB with an 80 GB swap cushion"},
+        ],
+        "projected_need_at_2p31": "~587 GB on the one-address-space "
+                                  "proxy (242.7 B/char measured)",
+        "real_hardware_math": "per-chip ~40 B/char x n/P: 4.3 GB text "
+                              "at P=16 => ~11 GB/chip, fits v5e 16 GB",
         "date": "2026-08-20",
     }
     (out / "wide_real.json").write_text(json.dumps(rec, indent=2))
     (out / "wide_real.txt").write_text(
-        "Wide-index proof run (r5)\n"
-        f"n = {n} = 2^31 + 2^22 bytes, random alnum\n"
-        f"build: {build_s:.0f}s on the 8-device virtual CPU mesh "
-        "(4 physical cores), wide_index auto-enabled\n"
-        f"max SA index: {int(sa.max())} (past int32 by "
-        f"{rec['n_past_int32']})\n"
-        f"validated: {ok} (chunked host O(n) validator, {val_s:.0f}s)\n")
-    assert ok
+        "Wide-index (two-word >int32 machinery) real-size run (r5)\n"
+        f"n = 2^{lg} random alnum, 8-device virtual CPU mesh, "
+        "wide_index=True\n"
+        f"build {build_s:.0f}s; int64 output BYTE-EXACT vs the SA-IS "
+        f"oracle ({val_s:.0f}s)\n"
+        f"peak memory {peak[0] / 1048576:.1f} GiB = "
+        f"{peak[0] * 1024 / n:.1f} B/char on the proxy (all shards + "
+        "XLA:CPU collective copies share one address space)\n\n"
+        "Auto-enable-size attempts (n = 2^31 + 2^22): OOM-killed at\n"
+        "127 GB RSS, then at ~175 GB with an 80 GB swap cushion —\n"
+        "projected ~587 GB needed on this proxy. Real multi-host\n"
+        "hardware holds n/P per chip (~11 GB/chip at 4 GiB, P=16).\n"
+        "The auto-enable predicate (n_pad >= 2^31 - 1) is unit-tested.\n")
     print("RECORDED", out / "wide_real.json", flush=True)
 
 

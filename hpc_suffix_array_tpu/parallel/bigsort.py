@@ -693,6 +693,15 @@ class _DistText:
                         win.astype(np.int16), np.int16(-1))
 
 
+def wide_auto(n_pad: int) -> bool:
+    """Auto-enable the two-word (hi, lo) index arithmetic when any
+    padded index could reach int32's edge — the >=4 GiB ladder config.
+    Executed at real scale (2^29, SA-IS byte-exact) and OOM-bounded on
+    this proxy host past 2^31: see experiments/wide_real.py and
+    results/wide_index/."""
+    return n_pad >= (1 << 31) - 1
+
+
 def mp_local_geometry(n: int, mesh: Mesh) -> tuple[int, int, int]:
     """(n_pad, start, stop): padded text length for ``mesh`` and the
     [start, stop) block of it this process must pass to
@@ -814,7 +823,7 @@ def _build(tops, force_chain_mode, wide_index, want_lcp, device_columns):
     if chain is None:
         chain = tops.est_repeat > nw * spw
     if wide_index is None:
-        wide_index = tops.n_pad >= (1 << 31) - 1
+        wide_index = wide_auto(tops.n_pad)
     if wide_index:
         return _build_wide(tops, bits, spw, minpad, ranges, nw, chain,
                            force_chain_mode, want_lcp, device_columns)

@@ -458,3 +458,15 @@ def test_mp_matches_host_api(mesh8, rng):
     via_mp = np.asarray(_mp_build(text, mesh8))[:n]
     via_host = np.asarray(build_suffix_array_sharded_big(text, mesh8))
     assert np.array_equal(via_mp, via_host)
+
+
+def test_wide_auto_enable_boundary():
+    """The auto-enable predicate fires exactly where a padded index
+    could leave int32 (r5; executed at real scale in
+    experiments/wide_real.py — results/wide_index/)."""
+    from hpc_suffix_array_tpu.parallel.bigsort import wide_auto
+
+    assert not wide_auto((1 << 31) - 2)
+    assert wide_auto((1 << 31) - 1)
+    assert wide_auto(1 << 31)
+    assert wide_auto((1 << 31) + (1 << 28))
