@@ -180,8 +180,17 @@ def _sa_lcp_big(text, n: int, text_dev=None, info=None):
     host = np.asarray(as_byte_array(text))   # host copy for planning
     # Planning products computed ONCE and threaded through the gate and
     # the chosen builder — each is a full-text host pass (~0.6 s/2^28),
-    # and this router otherwise triggers three of them.
-    remap, _, _ = alphabet_remap(host)
+    # and this router otherwise triggers three of them. With a device
+    # text copy the alphabet scan moves on-device entirely (the host
+    # counting pass measured 1.18 s of the 3.0 s standalone-LCP total
+    # at 2^28 — r5, experiments/lcp_standalone_ab.py follow-up).
+    if (text_dev is not None and int(text_dev.shape[0]) >= n
+            and text_dev.dtype == jnp.uint8):
+        from hpc_suffix_array_tpu.core.suffix_array import (
+            alphabet_remap_dev)
+        remap, _, _ = alphabet_remap_dev(text_dev, n)
+    else:
+        remap, _, _ = alphabet_remap(host)
     est = estimate_repeat_len(host)
     if prefer_direct(host, n, est_repeat=est, sigma=int(remap.max())):
         dev = (text_dev if text_dev is not None
