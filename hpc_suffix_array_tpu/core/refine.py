@@ -213,6 +213,28 @@ def _pk_chunk(m: int, spw: int, bits: int, pk, text_pad, base, n,
     return lax.dynamic_update_slice(pk, word, (base,))
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 7),
+                   donate_argnums=(3,))
+def _pk2_chunk(m: int, spw: int, bits: int, pk2, text_pad, base, n,
+               ranges=None, vals=None):
+    """pk2[i] = (word at i, word at i+spw) as one (m, 2) row block.
+
+    A contiguous PAIR row gather costs the same as a single-element
+    gather on this hardware (measured v5e 2026-08-20: pair-row 196 ms
+    vs single 222 ms vs two separate gathers 442 ms at 2^24 rows) —
+    the rounds fetch both window words in ONE gather.  Costs 2x the
+    table memory; the driver falls back to the 1-D table + two gathers
+    when the fused-LCP build at huge n cannot afford it."""
+    ext = lax.dynamic_slice(text_pad, (base,), (m + 2 * spw,))
+    pos = base + lax.iota(jnp.int32, m + 2 * spw)
+    codes = codes_from_bytes(ext, vals, ranges)
+    codes = jnp.where(pos < n, codes, 0)
+    w = _dev_pack_word(codes, 0, spw, bits, m + spw)
+    pair = jnp.stack([lax.slice(w, (0,), (m,)),
+                      lax.slice(w, (spw,), (spw + m,))], axis=1)
+    return lax.dynamic_update_slice(pk2, pair, (base, 0))
+
+
 # --------------------------------------------------------------------------
 # Refinement rounds
 # --------------------------------------------------------------------------
@@ -244,6 +266,29 @@ def _seg_init(S: int, head):
                    donate_argnums=(3, 4, 5))
 def _refine_round(S: int, spw: int, bits: int, seg, idx, patch, pk, d,
                   n):
+    """One deepening round, paired-table flavor (pk is (L, 2) — both
+    window words arrive in ONE row gather; see _pk2_chunk)."""
+    nn = jnp.int32(n)
+    g = pk[jnp.minimum(idx + d, nn)]
+    return _round_body(S, spw, bits, seg, idx, patch, g[:, 0], g[:, 1],
+                       d)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   donate_argnums=(3, 4, 5))
+def _refine_round_1d(S: int, spw: int, bits: int, seg, idx, patch, pk,
+                     d, n):
+    """One deepening round, 1-D-table flavor (two element gathers) —
+    the fallback when the paired table's 2x memory does not fit
+    alongside a fused-LCP build at huge n."""
+    nn = jnp.int32(n)
+    g0 = pk[jnp.minimum(idx + d, nn)]
+    g1 = pk[jnp.minimum(idx + d + spw, nn)]
+    return _round_body(S, spw, bits, seg, idx, patch, g0, g1, d)
+
+
+def _round_body(S: int, spw: int, bits: int, seg, idx, patch, g0, g1,
+                d):
     """One deepening round over a piece (static shape S, traced depth d).
 
     Sort rows by (segment id, window word 0, window word 1); split
@@ -254,9 +299,6 @@ def _refine_round(S: int, spw: int, bits: int, seg, idx, patch, pk, d,
     (rows only ever permute within their segment's position range, so a
     boundary formed at position p stays at p); ``idx`` travels with the
     rows.  Returns (seg, idx, patch, n_tied)."""
-    nn = jnp.int32(n)
-    g0 = pk[jnp.minimum(idx + d, nn)]
-    g1 = pk[jnp.minimum(idx + d + spw, nn)]
     s_seg, s0, s1, s_idx = lax.sort((seg, g0, g1, idx), num_keys=3,
                                     is_stable=False)
     m1 = jnp.full((1,), -1, jnp.int32)
@@ -467,15 +509,34 @@ def refine_ties(text_pad, sa_full, lcp, tie_src, n: int, *, spw_main: int,
 
     # ---- packed-word table (reserved-0), chunked build ----------------
     # One pad chunk past n_pack guarantees pk[n] is the all-pad word
-    # even when n is chunk-aligned (the gathers clamp to n).
+    # even when n is chunk-aligned (the gathers clamp to n). The paired
+    # (L, 2) table halves the rounds' gather cost (one row gather per
+    # round — measured, see _pk2_chunk) but costs 2x memory: the fused
+    # SA+LCP build at huge n keeps the 1-D table instead (at 2^30 the
+    # live set there is text + idx slab + lcp + masks ~ 10 GB; +8.6 GB
+    # paired table would not fit v5e HBM, +4.3 does).
     import time as _time
 
     _t0 = _time.perf_counter()
-    pk = jnp.zeros((n_pack + ch,), jnp.int32)
-    for c in range(n_chunks):
-        pk = _pk_chunk(ch, spw, bits, pk, text_pad, jnp.int32(c * ch),
-                       jnp.int32(n), ranges, vals)
-    _ = jax.device_get(pk[-1])                       # fence for the stamp
+    paired = (not want_lcp) or n <= (1 << 29) or \
+        os.environ.get("SA_REFINE_PK2", "auto") == "1"
+    if os.environ.get("SA_REFINE_PK2", "auto") == "0":
+        paired = False
+    if paired:
+        pk = jnp.zeros((n_pack + ch, 2), jnp.int32)
+        for c in range(n_chunks):
+            pk = _pk2_chunk(ch, spw, bits, pk, text_pad,
+                            jnp.int32(c * ch), jnp.int32(n), ranges,
+                            vals)
+        _ = jax.device_get(pk[-1, 0])
+    else:
+        pk = jnp.zeros((n_pack + ch,), jnp.int32)
+        for c in range(n_chunks):
+            pk = _pk_chunk(ch, spw, bits, pk, text_pad,
+                           jnp.int32(c * ch), jnp.int32(n), ranges,
+                           vals)
+        _ = jax.device_get(pk[-1])
+    round_fn = _refine_round if paired else _refine_round_1d
     phases = {"pk": round(_time.perf_counter() - _t0, 3),
               "extract": 0.0, "rounds": 0.0, "host_fetch": 0.0}
 
@@ -506,7 +567,7 @@ def refine_ties(text_pad, sa_full, lcp, tie_src, n: int, *, spw_main: int,
         tied = cnt
         rounds = 0
         while tied and rounds < max_rounds:
-            seg, idxP, patch, tied_d = _refine_round(
+            seg, idxP, patch, tied_d = round_fn(
                 S, spw, bits, seg, idxP, patch, pk, jnp.int32(d),
                 jnp.int32(n))
             tied = int(jax.device_get(tied_d))
