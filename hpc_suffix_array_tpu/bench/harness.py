@@ -68,6 +68,7 @@ def _row_for_file(path, result, backend: str, processes: int) -> dict:
         "lcp_time": result.lcp_time,
         "lrs_time": result.lrs_time,
         "compile_time": result.compile_time,
+        "builder": getattr(result, "builder", ""),
         "success": True,
         "error": "",
         "timestamp": datetime.now(),
