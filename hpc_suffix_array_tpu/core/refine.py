@@ -444,10 +444,12 @@ def refine_ties(text_pad, sa_full, lcp, tie_src, n: int, *, spw_main: int,
         tie_src = jnp.concatenate(
             [tie_src,
              jnp.zeros((n_pack - int(tie_src.shape[0]),), tie_src.dtype)])
-    if int(text_pad.shape[0]) < n_pack + spw:
+    if int(text_pad.shape[0]) < n_pack + 2 * spw:
+        # The paired pk builder slices m + 2*spw per chunk; pad once so
+        # both table flavors' chunked reads stay in bounds.
         text_pad = jnp.concatenate(
             [text_pad,
-             jnp.zeros((n_pack + spw - int(text_pad.shape[0]),),
+             jnp.zeros((n_pack + 2 * spw - int(text_pad.shape[0]),),
                        text_pad.dtype)])
     tie_packed = jnp.zeros((n_pack // 32,), jnp.uint32)
     for c in range(n_chunks):
