@@ -115,26 +115,40 @@ def _popcount_chunks(packed, n_chunks: int, words_per_chunk: int):
     return jnp.sum(lax.population_count(w).astype(jnp.int32), axis=1)
 
 
-@jax.jit
-def _count_range(member_packed, lo, hi):
-    """#set member bits with slot in [lo, hi) (one masked reduce)."""
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _gather_windows(K: int, win_words: int, packed, starts_w):
+    """(K, win_words) word windows of ``packed`` at ``starts_w`` — the
+    piece partition fetches every candidate cut's neighborhood in ONE
+    device call (a round-trip per candidate cost ~26 ms x pieces)."""
+    rows = [lax.dynamic_slice(packed, (starts_w[k],), (win_words,))
+            for k in range(K)]
+    return jnp.stack(rows)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _count_ranges(K: int, member_packed, los, his):
+    """int32[K] member counts for K slot ranges in one device call."""
     L = member_packed.shape[0]
     widx = lax.iota(jnp.int32, L)
-    word_lo, word_hi = lo // 32, (hi - 1) // 32
-    inside = (widx > word_lo) & (widx < word_hi)
-    full = jnp.sum(jnp.where(
-        inside, lax.population_count(member_packed).astype(jnp.int32), 0))
+    pc = lax.population_count(member_packed).astype(jnp.int32)
+    sh = lax.iota(jnp.uint32, 32)
 
-    def bits_of(wi):
-        w = member_packed[jnp.clip(wi, 0, L - 1)]
-        pos = wi * 32 + lax.iota(jnp.int32, 32)
-        sel = ((w >> lax.iota(jnp.uint32, 32)) & jnp.uint32(1)).astype(
-            jnp.int32)
-        return jnp.sum(jnp.where((pos >= lo) & (pos < hi), sel, 0))
+    def one(lo, hi):
+        word_lo, word_hi = lo // 32, (hi - 1) // 32
+        inside = (widx > word_lo) & (widx < word_hi)
+        full = jnp.sum(jnp.where(inside, pc, 0))
 
-    edge = bits_of(word_lo) + jnp.where(word_hi != word_lo,
-                                        bits_of(word_hi), 0)
-    return jnp.where(hi > lo, full + edge, 0)
+        def bits_of(wi):
+            w = member_packed[jnp.clip(wi, 0, L - 1)]
+            pos = wi * 32 + lax.iota(jnp.int32, 32)
+            sel = ((w >> sh) & jnp.uint32(1)).astype(jnp.int32)
+            return jnp.sum(jnp.where((pos >= lo) & (pos < hi), sel, 0))
+
+        edge = bits_of(word_lo) + jnp.where(word_hi != word_lo,
+                                            bits_of(word_hi), 0)
+        return jnp.where(hi > lo, full + edge, 0)
+
+    return jnp.stack([one(los[k], his[k]) for k in range(K)])
 
 
 def _unpack_bits(words, m: int):
@@ -427,7 +441,10 @@ def refine_ties(text_pad, sa_full, lcp, tie_src, n: int, *, spw_main: int,
     piece_target = int(os.environ.get("SA_REFINE_PIECE", 1 << 22))
     group_max = int(os.environ.get("SA_REFINE_GROUP_MAX", 1 << 26))
     max_rounds = int(os.environ.get("SA_REFINE_ROUNDS", 64))
-    host_piece = int(os.environ.get("SA_REFINE_HOST_PIECE", 1 << 16))
+    # 2^13 measured best at 2^28 words (v5e 2026-08-20): one extra
+    # compacted device round costs less than lexsorting 6x the members
+    # on the host (16.6 -> 15.9 s; host members 416k -> 62k).
+    host_piece = int(os.environ.get("SA_REFINE_HOST_PIECE", 1 << 13))
 
     # Extraction/packing slot-chunk: scaled down with the piece target
     # so small targets actually produce multiple pieces (cuts are only
@@ -476,37 +493,73 @@ def refine_ties(text_pad, sa_full, lcp, tie_src, n: int, *, spw_main: int,
         wa, wb = a // 32, min(-(-b // 32), n_pack // 32)
         return np.asarray(jax.device_get(tie_packed[wa:wb]))
 
-    def range_count(lo: int, hi: int) -> int:
-        if hi <= lo:
-            return 0
-        return int(jax.device_get(_count_range(
-            member_packed, jnp.int32(lo), jnp.int32(hi))))
-
-    # ---- piece partition at clean cuts --------------------------------
-    pieces = []                 # (lo_slot, hi_slot, member_count)
-    lo = 0
+    # ---- piece partition at clean cuts (batched round-trips) ----------
+    # Three device calls total, independent of piece count: the
+    # previous per-piece fetch pattern cost ~26 ms RTT x (2-3 x pieces)
+    # — several seconds of the 1 GiB words build.
+    #   1. candidate piece-closing chunk ends from the per-chunk counts
+    #      (host-only walk; a split chunk's remainder is approximated
+    #      by its whole count — piece sizes are targets, not contracts);
+    #   2. ONE gather of a tie-flag window per candidate to snap each
+    #      end to the nearest clean cut (a slot whose tie flag is 0);
+    #   3. ONE call for every piece's exact member count.
+    cand = []
     acc = 0
     for c in range(n_chunks):
         acc += int(counts[c])
-        if acc < piece_target and c != n_chunks - 1:
+        if acc >= piece_target or c == n_chunks - 1:
+            cand.append(c)
+            acc = 0
+    W = 1 << 15
+    win_words = min(W // 32, n_pack // 32)
+    ends = [min((c + 1) * ch, n) for c in cand]
+    starts_w = np.array(
+        [min(max(0, e - W) // 32, n_pack // 32 - win_words)
+         for e in ends], np.int32)
+    wins = np.asarray(jax.device_get(_gather_windows(
+        len(cand), win_words, tie_packed, jnp.asarray(starts_w))))
+
+    bounds = []                  # (lo_slot, hi_slot)
+    lo = 0
+    for e, sw, win in zip(ends, starts_w, wins):
+        if e >= n:
+            hi = n
+        else:
+            bits_w = np.unpackbits(win.view(np.uint8),
+                                   bitorder="little")
+            sl = np.arange(int(sw) * 32, int(sw) * 32 + len(bits_w))
+            ok = (sl > lo) & (sl <= e) & (bits_w == 0)
+            if ok.any():
+                hi = int(sl[ok][-1])
+            else:
+                # Giant group across the whole window: fall back to the
+                # scanning search (rare); still no cut -> extend into
+                # the next candidate's range.
+                cut = _find_cut(fetch_tie, e, lo)
+                if cut is None:
+                    continue
+                hi = cut
+        if hi <= lo:
             continue
-        hi = n if c == n_chunks - 1 else min((c + 1) * ch, n)
-        if hi < n:
-            cut = _find_cut(fetch_tie, hi, lo)
-            if cut is None:
-                continue         # giant group: extend into next chunk
-            hi = cut
-        cnt = range_count(lo, hi)
+        bounds.append((lo, hi))
+        lo = hi
+    cnts = np.asarray(jax.device_get(_count_ranges(
+        len(bounds), member_packed,
+        jnp.asarray(np.array([b[0] for b in bounds], np.int32)),
+        jnp.asarray(np.array([b[1] for b in bounds], np.int32)))))
+    pieces = []                  # (lo_slot, hi_slot, member_count)
+    for (plo, phi), cnt in zip(bounds, cnts):
+        cnt = int(cnt)
         if cnt > group_max:
             raise RefineOverflow(
-                f"refinement piece [{lo},{hi}) holds {cnt} tied members "
-                f"(> SA_REFINE_GROUP_MAX={group_max}); a tie group "
-                "exceeds the device sort budget - the router finishes "
-                "with the host SA-IS builder")
+                f"refinement piece [{plo},{phi}) holds {cnt} tied "
+                f"members (> SA_REFINE_GROUP_MAX={group_max}); a tie "
+                "group exceeds the device sort budget - the router "
+                "finishes with the host SA-IS builder")
         if cnt:
-            pieces.append((lo, hi, cnt))
-        lo = hi
-        acc = range_count(lo, min((c + 1) * ch, n))
+            pieces.append((plo, phi, cnt))
+    assert sum(c for _, _, c in pieces) == M, (sum(
+        c for _, _, c in pieces), M)
     meta["refine_pieces"] = len(pieces)
 
     # ---- packed-word table (reserved-0), chunked build ----------------
@@ -556,7 +609,12 @@ def refine_ties(text_pad, sa_full, lcp, tie_src, n: int, *, spw_main: int,
                 ch, slotP, idxP, headP, off_d, tie_packed,
                 member_packed, sa_full, jnp.int32(c * ch),
                 jnp.int32(plo), jnp.int32(phi), jnp.int32(n))
-        assert int(jax.device_get(off_d)[0]) == cnt, (off_d, cnt)
+        if os.environ.get("SA_REFINE_CHECK", "0") == "1":
+            # Debug invariant (one sync per piece): the device running
+            # offset must land exactly on the batched range count.
+            # Default-off — the global sum==M assert above plus the
+            # oracle/validator test layers cover it without the RTTs.
+            assert int(jax.device_get(off_d)[0]) == cnt, (off_d, cnt)
         slotP, idxP, headP = _piece_trim(S, slotP, idxP, headP,
                                          jnp.int32(cnt), jnp.int32(n))
         phases["extract"] += _time.perf_counter() - _t0

@@ -29,6 +29,7 @@ BUILDERS = {
 def _force_refine(monkeypatch, **extra):
     """Route even tiny tie masses through the device refinement pass."""
     monkeypatch.setenv("SA_HOST_RESIDUE_MAX", "8")
+    monkeypatch.setenv("SA_REFINE_CHECK", "1")   # per-piece invariant on
     for k, v in extra.items():
         monkeypatch.setenv(k, str(v))
 
