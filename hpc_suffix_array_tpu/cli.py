@@ -68,10 +68,11 @@ def run(text: np.ndarray, filename: str, backend: str, n_devices: int | None,
         if n > int(_os.environ.get("SA_SHARDED_MSD_MIN", 1 << 22)):
             # Fused sharded SA+LCP (one carried-keys pass, r5) — the
             # distributed analog of the single-backend fused route.
-            combined = build_sa_lcp_sharded(text, mesh)
+            combined = build_sa_lcp_sharded(text, mesh, info=info)
             sa = _fence(combined[0])
         else:
-            sa = _fence(build_suffix_array_sharded(text, mesh))
+            sa = _fence(build_suffix_array_sharded(text, mesh,
+                                                   info=info))
     else:
         import os as _os
 

@@ -72,7 +72,12 @@ def spawn(args, argv_rest: list[str]) -> int:
             stderr=None if i == 0 else subprocess.STDOUT))
     rc = 0
     for p in procs:
-        rc = max(rc, p.wait())
+        code = p.wait()
+        if code != 0:
+            # Popen.wait() returns NEGATIVE codes for signal deaths
+            # (e.g. -9 for an OOM kill) — max() against a clean 0 would
+            # mask them; any nonzero worker fails the launch.
+            rc = max(rc, abs(code), 1)
     return rc
 
 

@@ -765,6 +765,20 @@ def carried_depth_syms(sigma: int) -> int:
     return 2 * packing_from_sigma(sigma)[1]
 
 
+# Repeat-estimate threshold for "route a mid-size text to the carried
+# keys machinery": 3 words x max spw-per-word bound (~16) — repeats
+# deeper than any one-pass window mean the doubling loop would burn
+# log2(repeat) rounds that chain/residue/refinement machinery avoids.
+# Shared by the single-device and sharded routers (a previous inline
+# copy of a routing gate drifted once — TODO.md's phantom-tunnel note).
+DEEP_REPEAT_EST = 3 * 16
+
+
+def deep_repeat_class(est_repeat: int) -> bool:
+    """Mid-size routing gate: repeats beyond every one-pass window."""
+    return est_repeat > DEEP_REPEAT_EST
+
+
 def chain_plausible(est_repeat: int, n: int) -> bool:
     """Is the text plausibly GLOBALLY periodic (chain-mode material)?
 
@@ -1347,9 +1361,15 @@ def execute_big(state, *, max_bucket_elems: int | None = None,
     # RTTs from the critical path).
     patches = []
     refine_mode = False
-    host_cap = int(os.environ.get("SA_HOST_RESIDUE_MAX", RESIDUE_SLOTS))
+    # The host path's real bound is PER BUCKET (extraction fetches
+    # RESIDUE_SLOTS members per bucket); members <= 2*flags + groups,
+    # so flags*2 over the cap predicts an extraction overflow without
+    # paying the round-trips. The global cap guards the pathological
+    # many-bucket aggregate (the host lexsort is O(total * WIN)).
+    host_cap = int(os.environ.get("SA_HOST_RESIDUE_MAX", 1 << 20))
     if not chain_mode and tie_counts.sum():
-        if int(tie_counts.sum()) > host_cap:
+        if (int(tie_counts.max()) * 2 > RESIDUE_SLOTS
+                or int(tie_counts.sum()) > host_cap):
             # Tie mass beyond the bounded host path: resolve on device
             # (core/refine.py) — no extraction round-trips needed.
             refine_mode = True
@@ -1800,9 +1820,12 @@ def execute_direct(state, *, force_chain_mode: bool | None = None,
 
     patches = []
     refine_mode = False
-    host_cap = int(os.environ.get("SA_HOST_RESIDUE_MAX", RESIDUE_SLOTS))
+    # Same gate semantics as execute_big: the direct build is one
+    # whole-text "bucket", so the per-bucket member cap applies to the
+    # single flag count (members <= 2*flags + groups).
+    host_cap = int(os.environ.get("SA_HOST_RESIDUE_MAX", 1 << 20))
     if ties and not chain_mode:
-        if ties > host_cap:
+        if ties * 2 > RESIDUE_SLOTS or ties > host_cap:
             refine_mode = True
         else:
             slots_d, idx_d, total_d = _extract_ties(

@@ -363,7 +363,8 @@ def build_suffix_array(text, info: dict | None = None,
             build_suffix_array_big, build_suffix_array_direct,
             estimate_repeat_len, prefer_direct)
         est = estimate_repeat_len(arr)
-        if est > 3 * 16:                        # beyond one-pass windows
+        from hpc_suffix_array_tpu.core.bigsort import deep_repeat_class
+        if deep_repeat_class(est):              # beyond one-pass windows
             try:
                 if prefer_direct(arr, n, est_repeat=est):
                     try:

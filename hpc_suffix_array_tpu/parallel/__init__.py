@@ -43,8 +43,10 @@ def build_sa_lcp_sharded(text, mesh=None, info: dict | None = None):
     try_fused = n >= max(msd_min, 8)
     if not try_fused and n >= int(os.environ.get("SA_SHARDED_CHAIN_MIN",
                                                  1 << 16)):
-        from hpc_suffix_array_tpu.core.bigsort import estimate_repeat_len
-        try_fused = estimate_repeat_len(arr) > 3 * 16
+        from hpc_suffix_array_tpu.core.bigsort import (
+            deep_repeat_class, estimate_repeat_len)
+        try_fused = deep_repeat_class(estimate_repeat_len(arr))
+    msd = None
     if try_fused:
         try:
             out = build_suffix_array_sharded_big(arr, mesh,
@@ -53,8 +55,11 @@ def build_sa_lcp_sharded(text, mesh=None, info: dict | None = None):
                 info["path"] = "sharded_msd"
             return out
         except NotImplementedError:
-            pass
-    sa = build_suffix_array_sharded(arr, mesh, info=info)
+            # The MSD pass just refused this text; go straight to the
+            # doubling builder instead of letting the router attempt
+            # the identical (failing) MSD build a second time.
+            msd = False
+    sa = build_suffix_array_sharded(arr, mesh, info=info, msd=msd)
     return sa, build_lcp_array_sharded(arr, sa, mesh)
 
 

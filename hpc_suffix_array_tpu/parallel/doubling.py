@@ -151,7 +151,8 @@ def suffix_array_from_bytes_sharded(mesh: Mesh, bits: int, h0: int):
 
 
 def build_suffix_array_sharded(text, mesh: Mesh | None = None,
-                               info: dict | None = None) -> jnp.ndarray:
+                               info: dict | None = None,
+                               msd: bool | None = None) -> jnp.ndarray:
     """Suffix array of ``text``, computed block-sharded over ``mesh``.
 
     Same pad-sentinel scheme as the single-device builder
@@ -173,10 +174,14 @@ def build_suffix_array_sharded(text, mesh: Mesh | None = None,
     n = int(arr.shape[0])
     if n == 0:
         return jnp.zeros((0,), jnp.int32)
+    # ``msd``: force (True) or skip (False) the one-pass MSD attempt —
+    # a caller whose own MSD pass just refused (build_sa_lcp_sharded's
+    # fused attempt) passes False so the identical build is not re-run
+    # on the way to the doubling fallback.
     msd_min = int(os.environ.get("SA_SHARDED_MSD_MIN", 1 << 22))
-    try_msd = n >= msd_min
-    if not try_msd and n >= int(os.environ.get("SA_SHARDED_CHAIN_MIN",
-                                               1 << 16)):
+    try_msd = n >= msd_min if msd is None else msd
+    if msd is None and not try_msd and n >= int(os.environ.get(
+            "SA_SHARDED_CHAIN_MIN", 1 << 16)):
         # Mid-size deep-repeat texts (the reference's repetitive corpus
         # family): the doubling loop pays log2(n) rounds x the bitonic
         # network before ranks separate, while the MSD chain pass
@@ -184,8 +189,9 @@ def build_suffix_array_sharded(text, mesh: Mesh | None = None,
         # routing fix, core/suffix_array.py — r5 ports it here: the
         # mesh sweep measured repetitive_1MB at 8.9-16.9 s sharded vs
         # 0.33 s single-device before this gate).
-        from hpc_suffix_array_tpu.core.bigsort import estimate_repeat_len
-        try_msd = estimate_repeat_len(arr) > 3 * 16
+        from hpc_suffix_array_tpu.core.bigsort import (
+            deep_repeat_class, estimate_repeat_len)
+        try_msd = deep_repeat_class(estimate_repeat_len(arr))
     if try_msd:
         from hpc_suffix_array_tpu.parallel.bigsort import (
             build_suffix_array_sharded_big)
