@@ -276,6 +276,48 @@ def _seg_init(S: int, head):
     return _prefix_max(jnp.where(head != 0, iota, jnp.int32(-1)))
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _piece_round1(m: int, spw: int, bits: int, tie_packed,
+                  member_packed, sa_full, pk2, base, lo, hi, n, d0):
+    """Fused extraction + first deepening round for a single-chunk
+    piece (the common case: at benchmark sizes pieces ARE chunks).
+
+    The staged form pays extract-sort -> windows -> trim -> seg ladder
+    -> gather -> round sort as five dispatches with HBM round-trips
+    between them; this one program does: member/head masks from the
+    packed flags, the positional slot compaction (1-key sort — the
+    p-th sorted member row lands at the p-th smallest member slot:
+    segment blocks are slot ranges, so the round-1 order's seg blocks
+    align with ascending slot blocks), the paired window gather at the
+    original depth, and the first (seg, w0, w1) split with its exact
+    boundary-LCP patches.  Non-members key to the tail with DISTINCT
+    pad segments (n + position — above every member head slot without
+    int32 overflow) so no later round can see them as tied.  Returns
+    (slotP, seg, idx, patch, n_tied) at shape m.
+    """
+    w0b = base // 32
+    tie_b = _unpack_bits(lax.dynamic_slice(tie_packed, (w0b,),
+                                           (m // 32,)), m)
+    mem_b = _unpack_bits(lax.dynamic_slice(member_packed, (w0b,),
+                                           (m // 32,)), m)
+    slot = base + lax.iota(jnp.int32, m)
+    mem_b = mem_b & (slot >= lo) & (slot < hi)
+    idx = jnp.where(mem_b, lax.dynamic_slice(sa_full, (base,), (m,)),
+                    n)
+    slotP = lax.sort((jnp.where(mem_b, slot, SLOT_PAD),),
+                     is_stable=False)[0]
+    seg0 = _prefix_max(jnp.where(mem_b & (~tie_b), slot, jnp.int32(-1)))
+    # Pad segments: distinct AND above every member segment (head
+    # slots are < n). NOT SLOT_PAD + iota — that wraps past int32 for
+    # chunks over 2^16 and the wrapped (negative) pads sort BEFORE the
+    # members, misaligning rows against slotP.
+    seg0 = jnp.where(mem_b, seg0, n + lax.iota(jnp.int32, m))
+    g = pk2[jnp.minimum(idx + d0, jnp.int32(n))]
+    patch = jnp.full((m,), -1, jnp.int32)
+    return (slotP,) + _round_body(m, spw, bits, seg0, idx, patch,
+                                  g[:, 0], g[:, 1], d0)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2),
                    donate_argnums=(3, 4, 5))
 def _refine_round(S: int, spw: int, bits: int, seg, idx, patch, pk, d,
@@ -598,44 +640,58 @@ def refine_ties(text_pad, sa_full, lcp, tie_src, n: int, *, spw_main: int,
     host_patches = []            # (slots int64[], idxs int32[])
     rounds_max = 0
     for (plo, phi, cnt) in pieces:
-        S = max(_pow2(cnt), min(1 << 10, _pow2(n)))
         _t0 = _time.perf_counter()
-        slotP = jnp.full((S + ch,), SLOT_PAD, jnp.int32)
-        idxP = jnp.full((S + ch,), jnp.int32(n), jnp.int32)
-        headP = jnp.ones((S + ch,), jnp.int32)
-        off_d = jnp.zeros((1,), jnp.int32)
-        for c in range(plo // ch, (phi - 1) // ch + 1):
-            slotP, idxP, headP, off_d = _extract_write(
-                ch, slotP, idxP, headP, off_d, tie_packed,
-                member_packed, sa_full, jnp.int32(c * ch),
-                jnp.int32(plo), jnp.int32(phi), jnp.int32(n))
-        if os.environ.get("SA_REFINE_CHECK", "0") == "1":
-            # Debug invariant (one sync per piece): the device running
-            # offset must land exactly on the batched range count.
-            # Default-off — the global sum==M assert above plus the
-            # oracle/validator test layers cover it without the RTTs.
-            assert int(jax.device_get(off_d)[0]) == cnt, (off_d, cnt)
-        slotP, idxP, headP = _piece_trim(S, slotP, idxP, headP,
-                                         jnp.int32(cnt), jnp.int32(n))
+        # Fused entry only when the piece is one chunk AND dense: the
+        # fused program works at full chunk width, which beats the
+        # staged pipeline's five dispatches when most rows are members
+        # (words corpora: 67-92%) but wastes a chunk-wide sort on
+        # sparse tie masses where the staged path's pow2(cnt) shapes
+        # are tiny.
+        single = (paired and plo // ch == (phi - 1) // ch
+                  and cnt >= ch // 8)
+        if single:
+            # Fused extraction + first deepening round: one program,
+            # uniform chunk-wide shape (see _piece_round1).
+            S = ch
+            slotP, seg, idxP, patch, tied_d = _piece_round1(
+                ch, spw, bits, tie_packed, member_packed, sa_full, pk,
+                jnp.int32((plo // ch) * ch), jnp.int32(plo),
+                jnp.int32(phi), jnp.int32(n), jnp.int32(d0))
+            tied = int(jax.device_get(tied_d))
+            d = d0 + 2 * spw
+            rounds = 1
+        else:
+            S = max(_pow2(cnt), min(1 << 10, _pow2(n)))
+            slotP = jnp.full((S + ch,), SLOT_PAD, jnp.int32)
+            idxP = jnp.full((S + ch,), jnp.int32(n), jnp.int32)
+            headP = jnp.ones((S + ch,), jnp.int32)
+            off_d = jnp.zeros((1,), jnp.int32)
+            for c in range(plo // ch, (phi - 1) // ch + 1):
+                slotP, idxP, headP, off_d = _extract_write(
+                    ch, slotP, idxP, headP, off_d, tie_packed,
+                    member_packed, sa_full, jnp.int32(c * ch),
+                    jnp.int32(plo), jnp.int32(phi), jnp.int32(n))
+            if os.environ.get("SA_REFINE_CHECK", "0") == "1":
+                # Debug invariant (one sync per piece): the device
+                # running offset must land exactly on the batched range
+                # count. Default-off — the global sum==M assert above
+                # plus the oracle/validator layers cover it.
+                assert int(jax.device_get(off_d)[0]) == cnt, (off_d,
+                                                              cnt)
+            slotP, idxP, headP = _piece_trim(S, slotP, idxP, headP,
+                                             jnp.int32(cnt),
+                                             jnp.int32(n))
+            seg = _seg_init(S, headP)
+            del headP
+            patch = jnp.full((S,), -1, jnp.int32)
+            d = d0
+            tied = cnt
+            rounds = 0
         phases["extract"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
 
-        seg = _seg_init(S, headP)
-        del headP
-        patch = jnp.full((S,), -1, jnp.int32)
-        d = d0
-        tied = cnt
-        rounds = 0
-        while tied and rounds < max_rounds:
-            seg, idxP, patch, tied_d = round_fn(
-                S, spw, bits, seg, idxP, patch, pk, jnp.int32(d),
-                jnp.int32(n))
-            tied = int(jax.device_get(tied_d))
-            d += 2 * spw
-            rounds += 1
-            if tied and tied <= host_piece:
-                break
-            if tied and tied <= S // 4 and S > (1 << 12):
+        while tied and rounds < max_rounds and tied > host_piece:
+            if tied <= S // 4 and S > (1 << 12):
                 # Geometric compaction: most rows resolve in the first
                 # round or two; continuing at full width would make
                 # every deepening round cost like the first. Commit the
@@ -656,6 +712,12 @@ def refine_ties(text_pad, sa_full, lcp, tie_src, n: int, *, spw_main: int,
                 del headC
                 patch = jnp.full((S2,), -1, jnp.int32)
                 S = S2
+            seg, idxP, patch, tied_d = round_fn(
+                S, spw, bits, seg, idxP, patch, pk, jnp.int32(d),
+                jnp.int32(n))
+            tied = int(jax.device_get(tied_d))
+            d += 2 * spw
+            rounds += 1
         rounds_max = max(rounds_max, rounds)
         phases["rounds"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
